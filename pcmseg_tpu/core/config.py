@@ -1,0 +1,228 @@
+"""Typed configuration with the reference's preset surface.
+
+Capability parity with the reference's dict-merge preset system
+(``/root/reference/test/config_example.py:25-190``): presets
+``quick / standard / cross_validation / high_performance / small_dataset``
+with keyword-override semantics via :func:`get_config`.
+
+Differences from the reference (deliberate, per SURVEY.md §8):
+  * One typed dataclass instead of loose dicts; every field is load-bearing
+    (the reference's decorative MODEL/OPTIMIZER/SCHEDULER/LOSS/AUGMENTATION
+    blocks are wired here for real).
+  * A single intensity-normalization switch applied identically at train,
+    validation, and prediction time (the reference normalized only at
+    predict time — ``script/predict.py:72-75`` vs ``script/data_loader.py:240``).
+  * TPU-first fields: compute dtype policy, mesh shape, remat, prefetch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+# The five standard modalities, in channel order
+# (reference: script/data_loader.py:47).
+DEFAULT_MODALITIES: Tuple[str, ...] = (
+    "ADC",
+    "DWI",
+    "gaoqing-T2",
+    "T2 fs",
+    "T2 not fs",
+)
+
+MISSING_STRATEGIES = ("zero_fill", "skip", "duplicate")
+NORMALIZE_MODES = ("percentile", "minmax", "zscore", "none")
+LOSSES = ("dice", "bce_dice")
+NORM_LAYERS = ("batch", "group")
+
+
+@dataclass
+class Config:
+    """Full training/inference configuration.
+
+    Field defaults mirror the reference's BASE_CONFIG / OPTIMIZER_CONFIG /
+    SCHEDULER_CONFIG values (test/config_example.py:25-116) where they exist,
+    and sane TPU-first values where the reference had none.
+    """
+
+    # ---- data -------------------------------------------------------------
+    data_dir: str = "data"
+    data_type: str = "BPH"  # 'BPH' | 'PCA'
+    modalities: Tuple[str, ...] = DEFAULT_MODALITIES
+    missing_strategy: str = "zero_fill"  # 'zero_fill' | 'skip' | 'duplicate'
+    target_size: Tuple[int, int, int] = (128, 128, 128)  # (D, H, W)
+    normalize: str = "percentile"  # percentile-clipped min-max by default
+    norm_percentiles: Tuple[float, float] = (1.0, 99.0)
+    cache_dir: Optional[str] = None  # preprocessing cache (None = no cache)
+    prefetch: int = 2  # device prefetch depth (double buffering)
+    shuffle_buffer_seed: int = 0
+
+    # ---- training ---------------------------------------------------------
+    num_epochs: int = 100
+    batch_size: int = 1
+    learning_rate: float = 1e-4
+    validation: bool = True
+    val_fraction: float = 0.2
+    seed: int = 42
+
+    # optimizer (reference OPTIMIZER_CONFIG, config_example.py:99-105)
+    optimizer: str = "adam"
+    weight_decay: float = 1e-5
+    betas: Tuple[float, float] = (0.9, 0.999)
+    eps: float = 1e-8
+    grad_clip_norm: float = 1.0  # reference train_bph.py:166
+
+    # LR scheduler (reference SCHEDULER_CONFIG, config_example.py:108-116)
+    scheduler: str = "reduce_on_plateau"
+    plateau_mode: str = "min"
+    plateau_factor: float = 0.5
+    plateau_patience: int = 10
+    plateau_threshold: float = 1e-4
+    plateau_cooldown: int = 0
+    min_lr: float = 1e-7
+
+    # early stopping (BASE_CONFIG patience=15; high_performance=20)
+    early_stopping: bool = True
+    patience: int = 15
+
+    # cross validation
+    n_splits: int = 5
+    stratified: bool = False  # reserved; reference's flag was decorative
+
+    # ---- model ------------------------------------------------------------
+    n_modalities: int = 5
+    n_classes: int = 1  # sigmoid binary everywhere (SURVEY.md §8.4)
+    base_features: int = 64
+    norm_layer: str = "batch"  # 'batch' | 'group'
+    group_norm_groups: int = 8
+
+    # ---- loss -------------------------------------------------------------
+    loss: str = "dice"  # all reference trainers use plain DiceLoss
+    dice_smooth: float = 1.0  # utils/losses.py:33
+    bce_weight: float = 0.5
+    dice_weight: float = 0.5
+
+    # ---- checkpointing / artifacts -----------------------------------------
+    save_dir: str = "checkpoints"
+    save_frequency: int = 10
+    keep_checkpoints: int = 3
+    resume: bool = False  # real resume (reference claimed, never implemented)
+
+    # ---- logging ----------------------------------------------------------
+    log_frequency: int = 1
+    print_frequency: int = 10
+
+    # ---- TPU / parallelism --------------------------------------------------
+    compute_dtype: str = "bfloat16"  # activations/conv compute
+    param_dtype: str = "float32"  # params + BN stats stay fp32
+    remat: bool = True  # rematerialize DoubleConv blocks
+    data_parallel: int = -1  # -1 = all devices on the 'data' mesh axis
+    spatial_parallel: int = 1  # shard the D spatial axis ('spatial' mesh axis)
+    donate_state: bool = True
+
+    # ---- inference ----------------------------------------------------------
+    threshold: float = 0.5
+    sliding_window: bool = False  # full-volume overlap-tiled inference
+    window_size: Tuple[int, int, int] = (128, 128, 128)
+    window_overlap: float = 0.5
+
+    def __post_init__(self):
+        self.modalities = tuple(self.modalities)
+        self.target_size = tuple(self.target_size)
+        self.window_size = tuple(self.window_size)
+        self.betas = tuple(self.betas)
+        self.norm_percentiles = tuple(self.norm_percentiles)
+        if self.missing_strategy not in MISSING_STRATEGIES:
+            raise ValueError(
+                f"missing_strategy={self.missing_strategy!r}; "
+                f"expected one of {MISSING_STRATEGIES}"
+            )
+        if self.normalize not in NORMALIZE_MODES:
+            raise ValueError(
+                f"normalize={self.normalize!r}; expected one of {NORMALIZE_MODES}"
+            )
+        if self.loss not in LOSSES:
+            raise ValueError(f"loss={self.loss!r}; expected one of {LOSSES}")
+        if self.norm_layer not in NORM_LAYERS:
+            raise ValueError(
+                f"norm_layer={self.norm_layer!r}; expected one of {NORM_LAYERS}"
+            )
+        if self.data_type not in ("BPH", "PCA"):
+            raise ValueError(f"data_type={self.data_type!r}; expected 'BPH' or 'PCA'")
+        if len(self.target_size) != 3:
+            raise ValueError(f"target_size must be (D,H,W), got {self.target_size}")
+        if self.n_modalities != len(self.modalities):
+            # keep them coherent — modalities list wins
+            self.n_modalities = len(self.modalities)
+
+    # -- dict round-trips (the reference API was plain dicts) ----------------
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "Config":
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(d) - known
+        if unknown:
+            raise ValueError(f"unknown config keys: {sorted(unknown)}")
+        return cls(**d)
+
+    def replace(self, **kwargs) -> "Config":
+        return dataclasses.replace(self, **kwargs)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        return cls.from_dict(json.loads(s))
+
+
+# Preset overlays — same names and intent as the reference
+# (test/config_example.py:149-155), expressed as deltas over Config defaults.
+PRESETS: Dict[str, Dict[str, Any]] = {
+    # standard == BASE_CONFIG: 100 epochs, batch 1, lr 1e-4, patience 15
+    "standard": {},
+    # quick: fewer epochs, bigger batch, no validation / early stop
+    "quick": {
+        "num_epochs": 10,
+        "batch_size": 2,
+        "validation": False,
+        "early_stopping": False,
+    },
+    # cross_validation: standard + 5 folds
+    "cross_validation": {
+        "n_splits": 5,
+    },
+    # high_performance: longer, bigger batch, lower LR, more patience
+    "high_performance": {
+        "num_epochs": 200,
+        "batch_size": 4,
+        "learning_rate": 5e-5,
+        "patience": 20,
+        "save_frequency": 5,
+    },
+    # small_dataset: CV with more folds, batch 1
+    "small_dataset": {
+        "n_splits": 10,
+        "batch_size": 1,
+        "learning_rate": 1e-4,
+    },
+}
+
+
+def get_config(preset: str = "standard", **overrides) -> Config:
+    """Build a :class:`Config` from a preset name plus keyword overrides.
+
+    Mirrors the reference's ``get_config(preset, **kwargs)``
+    (test/config_example.py:158-190) including the error on unknown presets.
+    """
+    if preset not in PRESETS:
+        raise ValueError(
+            f"unknown preset: {preset!r}. available: {sorted(PRESETS.keys())}"
+        )
+    merged = dict(PRESETS[preset])
+    merged.update(overrides)
+    return Config(**merged)
