@@ -1,0 +1,1 @@
+from pcmseg_tpu.cli.main import main, build_parser  # noqa: F401

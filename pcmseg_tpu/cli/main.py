@@ -1,0 +1,208 @@
+"""Unified CLI: check / train / validate / predict.
+
+The working version of the reference's run.py dispatch layer
+(run.py:242-353), with the same flag surface (run.py:284-315:
+--data_type/--epochs/--batch_size/--learning_rate/--optimized/
+--cross_validation/--missing_strategy/--model_path/--input_dir/
+--output_dir) — wired to implementations that actually exist (the
+reference's imports were broken, SURVEY.md §8.3), a functional predict verb
+(the reference's was a stub, run.py:237), and consistent n_classes
+everywhere (SURVEY.md §8.4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import traceback
+from typing import List, Optional
+
+from pcmseg_tpu.core.config import Config, PRESETS, get_config
+
+
+def _add_common_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--data_dir", default="data", help="data root directory")
+    p.add_argument("--data_type", choices=["BPH", "PCA"], default="BPH")
+    p.add_argument(
+        "--missing_strategy",
+        choices=["zero_fill", "skip", "duplicate"],
+        default=None,
+    )
+    p.add_argument("--target_size", type=int, nargs=3, default=None,
+                   metavar=("D", "H", "W"))
+    p.add_argument("--base_features", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--save_dir", default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--normalize",
+                   choices=["percentile", "minmax", "zscore", "none"],
+                   default=None)
+    p.add_argument("--cache_dir", default=None)
+    p.add_argument("--norm_layer", choices=["batch", "group"], default=None)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="pcmseg",
+        description="TPU-native multimodal prostate MRI segmentation",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    # check
+    pc = sub.add_parser("check", help="environment / data / checkpoint report")
+    pc.add_argument("--data_dir", default="data")
+    pc.add_argument("--save_dir", default="checkpoints")
+    pc.add_argument("--output", default="project_check_report.json")
+
+    # train
+    pt = sub.add_parser("train", help="train a model")
+    _add_common_flags(pt)
+    pt.add_argument("--preset", choices=sorted(PRESETS), default="standard")
+    pt.add_argument("--epochs", type=int, default=None)
+    pt.add_argument("--learning_rate", type=float, default=None)
+    pt.add_argument("--cross_validation", action="store_true",
+                    help="K-fold cross-validation training")
+    pt.add_argument("--n_splits", type=int, default=None)
+    pt.add_argument("--optimized", action="store_true",
+                    help="accepted for reference-CLI compatibility; the "
+                         "jit/bf16 path is always on")
+    pt.add_argument("--no_validation", action="store_true")
+    pt.add_argument("--resume", action="store_true",
+                    help="resume from the latest checkpoint in save_dir")
+    pt.add_argument("--loss", choices=["dice", "bce_dice"], default=None)
+
+    # validate
+    pv = sub.add_parser("validate", help="evaluate a checkpoint (Dice/IoU)")
+    _add_common_flags(pv)
+    pv.add_argument("--model_path", required=True,
+                    help="checkpoint dir (Orbax) or torch .pth")
+
+    # predict
+    pp = sub.add_parser("predict", help="segment a case directory")
+    _add_common_flags(pp)
+    pp.add_argument("--model_path", required=True)
+    pp.add_argument("--input_dir", required=True,
+                    help="case dir with one subdir per modality")
+    pp.add_argument("--output_dir", default="predictions")
+    pp.add_argument("--output_name", default="segmentation.nii.gz")
+    pp.add_argument("--threshold", type=float, default=None)
+    pp.add_argument("--sliding_window", action="store_true")
+    pp.add_argument("--window_size", type=int, nargs=3, default=None)
+    pp.add_argument("--window_overlap", type=float, default=None)
+
+    return parser
+
+
+def _config_from_args(args, preset: str = "standard") -> Config:
+    """Build a Config from preset + the non-None CLI overrides."""
+    mapping = {
+        "data_dir": "data_dir",
+        "data_type": "data_type",
+        "missing_strategy": "missing_strategy",
+        "base_features": "base_features",
+        "batch_size": "batch_size",
+        "save_dir": "save_dir",
+        "seed": "seed",
+        "normalize": "normalize",
+        "cache_dir": "cache_dir",
+        "norm_layer": "norm_layer",
+        "epochs": "num_epochs",
+        "learning_rate": "learning_rate",
+        "n_splits": "n_splits",
+        "loss": "loss",
+        "threshold": "threshold",
+        "window_overlap": "window_overlap",
+    }
+    overrides = {}
+    for arg_name, cfg_name in mapping.items():
+        v = getattr(args, arg_name, None)
+        if v is not None:
+            overrides[cfg_name] = v
+    if getattr(args, "target_size", None) is not None:
+        overrides["target_size"] = tuple(args.target_size)
+    if getattr(args, "window_size", None) is not None:
+        overrides["window_size"] = tuple(args.window_size)
+    if getattr(args, "no_validation", False):
+        overrides["validation"] = False
+    if getattr(args, "resume", False):
+        overrides["resume"] = True
+    if getattr(args, "sliding_window", False):
+        overrides["sliding_window"] = True
+    return get_config(preset, **overrides)
+
+
+def cmd_check(args) -> int:
+    from pcmseg_tpu.utils.check import generate_report
+
+    report = generate_report(
+        data_dir=args.data_dir, save_dir=args.save_dir, output_path=args.output
+    )
+    print(f"dependencies ok: {report['dependencies']['ok']}")
+    print(
+        f"devices: {report['devices'].get('device_count', 0)} "
+        f"({report['devices'].get('backend', 'none')})"
+    )
+    print(f"data tree ok: {report['data']['ok']}")
+    print(f"checkpoints found: {report['checkpoints']['count']}")
+    print(f"report written to {args.output}")
+    return 0 if report["ok"] else 1
+
+
+def cmd_train(args) -> int:
+    config = _config_from_args(args, preset=args.preset)
+    if args.cross_validation:
+        from pcmseg_tpu.train.cv import CrossValidationTrainer
+
+        CrossValidationTrainer(config).train()
+    else:
+        from pcmseg_tpu.train.trainer import Trainer
+
+        Trainer(config).train()
+    return 0
+
+
+def cmd_validate(args) -> int:
+    from pcmseg_tpu.infer.validate import Validator
+
+    config = _config_from_args(args)
+    results = Validator(config, args.model_path).validate()
+    print(
+        f"avg_dice={results['avg_dice']:.4f} avg_iou={results['avg_iou']:.4f} "
+        f"({results['case_count']} cases)"
+    )
+    return 0
+
+
+def cmd_predict(args) -> int:
+    import os
+
+    from pcmseg_tpu.infer.predict import Predictor
+
+    config = _config_from_args(args)
+    predictor = Predictor(config, args.model_path)
+    out = predictor.predict_and_save(
+        args.input_dir,
+        os.path.join(args.output_dir, args.output_name),
+        threshold=args.threshold,
+    )
+    print(f"saved: {out}")
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    handlers = {
+        "check": cmd_check,
+        "train": cmd_train,
+        "validate": cmd_validate,
+        "predict": cmd_predict,
+    }
+    try:
+        return handlers[args.command](args)
+    except Exception:  # noqa: BLE001 — top-level trap like run.py:339-344
+        traceback.print_exc()
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -35,7 +35,7 @@ DEFAULT_MODALITIES: Tuple[str, ...] = (
 MISSING_STRATEGIES = ("zero_fill", "skip", "duplicate")
 NORMALIZE_MODES = ("percentile", "minmax", "zscore", "none")
 LOSSES = ("dice", "bce_dice")
-NORM_LAYERS = ("batch", "group")
+NORM_LAYERS = ("batch", "group", "none")
 
 
 @dataclass

@@ -1,0 +1,204 @@
+"""Batch iteration with background loading and device prefetch.
+
+The TPU-native replacement for the reference's
+``torch.utils.data.DataLoader(pin_memory=True, num_workers=0)``
+(script/data_loader.py:421-466): a thread pool overlaps host-side NIfTI
+decode/resample with device compute, and ``prefetch_to_device`` keeps
+``prefetch`` batches ahead in HBM (double buffering) so the TPU never waits
+on the host. Supports Subset-style index restriction for cross-validation
+exactly like the reference's ``indices`` kwarg (data_loader.py:452-455).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from pcmseg_tpu.core.config import DEFAULT_MODALITIES
+from pcmseg_tpu.data.dataset import ProstateDataset
+
+
+def _collate(samples: List[dict]) -> dict:
+    return {
+        "image": np.stack([s["image"] for s in samples]),
+        "label": np.stack([s["label"] for s in samples]),
+        "case_id": [s["case_id"] for s in samples],
+    }
+
+
+class DataLoader:
+    """Iterates batches of a ProstateDataset (optionally index-restricted).
+
+    Args:
+      dataset: the ProstateDataset.
+      batch_size: global batch size.
+      shuffle: reshuffle case order every epoch (seeded, deterministic).
+      indices: optional subset of dataset indices (CV folds).
+      num_workers: host threads decoding cases concurrently.
+      drop_last: drop the final partial batch. Default False to match the
+        reference; note a partial batch triggers one extra XLA compile for
+        its shape (traced once, cached after).
+      seed: shuffle seed.
+    """
+
+    def __init__(
+        self,
+        dataset: ProstateDataset,
+        batch_size: int = 2,
+        shuffle: bool = True,
+        indices: Optional[Sequence[int]] = None,
+        num_workers: int = 4,
+        drop_last: bool = False,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.indices = list(indices) if indices is not None else list(
+            range(len(dataset))
+        )
+        for i in self.indices:
+            if not 0 <= i < len(dataset):
+                raise IndexError(
+                    f"subset index {i} out of range for dataset of "
+                    f"{len(dataset)} cases"
+                )
+        self.num_workers = max(1, int(num_workers))
+        self.drop_last = drop_last
+        self.seed = seed
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.indices)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    @property
+    def case_ids(self) -> List[str]:
+        return [self.dataset.case_list[i].case_id for i in self.indices]
+
+    def __iter__(self) -> Iterator[dict]:
+        order = list(self.indices)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        self._epoch += 1
+
+        batches = [
+            order[i : i + self.batch_size]
+            for i in range(0, len(order), self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+
+        if self.num_workers <= 1:
+            for b in batches:
+                yield _collate([self.dataset.load_case(i) for i in b])
+            return
+
+        # overlap decode of batch k+1..k+w with consumption of batch k
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            futures = [
+                pool.submit(
+                    lambda idxs=b: _collate(
+                        [self.dataset.load_case(i) for i in idxs]
+                    )
+                )
+                for b in batches
+            ]
+            for f in futures:
+                yield f.result()
+
+
+def get_dataloader(
+    data_dir: str,
+    batch_size: int = 2,
+    shuffle: bool = True,
+    modalities: Sequence[str] = DEFAULT_MODALITIES,
+    missing_strategy: str = "zero_fill",
+    target_size=(128, 128, 128),
+    num_workers: int = 4,
+    is_training: bool = True,
+    data_type: str = "BPH",
+    indices: Optional[Sequence[int]] = None,
+    normalize: str = "percentile",
+    cache_dir: Optional[str] = None,
+    drop_last: bool = False,
+    seed: int = 0,
+) -> DataLoader:
+    """One loader factory used uniformly by every trainer/validator.
+
+    This is the unified keyword surface that fixes the reference's
+    ``get_dataloader`` signature drift (SURVEY.md §8.1) — same core kwargs
+    as data_loader.py:421-423, plus normalize/cache/seed.
+    """
+    dataset = ProstateDataset(
+        data_dir=data_dir,
+        data_type=data_type,
+        modalities=modalities,
+        missing_strategy=missing_strategy,
+        target_size=target_size,
+        normalize=normalize,
+        cache_dir=cache_dir,
+        is_training=is_training,
+    )
+    return DataLoader(
+        dataset,
+        batch_size=batch_size,
+        shuffle=shuffle,
+        indices=indices,
+        num_workers=num_workers,
+        drop_last=drop_last,
+        seed=seed,
+    )
+
+
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Move batches to device ahead of consumption (double buffering).
+
+    Wraps a host-batch iterator; up to ``size`` batches are resident in HBM
+    before the consumer asks. With a ``NamedSharding`` the transfer also
+    shards the batch across the mesh.
+    """
+    import jax
+
+    def put(batch):
+        out = {}
+        for k, v in batch.items():
+            if isinstance(v, np.ndarray):
+                out[k] = (
+                    jax.device_put(v, sharding)
+                    if sharding is not None
+                    else jax.device_put(v)
+                )
+            else:
+                out[k] = v
+        return out
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, size))
+    sentinel = object()
+    err: list = []
+
+    def producer():
+        try:
+            for batch in iterator:
+                q.put(put(batch))
+        except Exception as e:  # noqa: BLE001
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item

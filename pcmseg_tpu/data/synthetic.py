@@ -1,0 +1,94 @@
+"""Synthetic BPH/PCA data trees for tests and benchmarks.
+
+Writes reference-layout NIfTI trees
+(``{root}/BPH-PCA/{data_type}/{modality}/{case}.nii.gz`` + labels under
+``ROI(BPH+PCA)``) with sphere-lesion phantoms, so the full pipeline —
+discovery, filtering, strategies, resampling, training, validation,
+prediction — runs end-to-end without real patient data (the test strategy
+SURVEY.md §4 calls for).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from pcmseg_tpu.core.config import DEFAULT_MODALITIES
+from pcmseg_tpu.data.dataset import LABEL_DIR
+from pcmseg_tpu.data.nifti import write_nifti
+from pcmseg_tpu.data.volume import Volume
+
+
+def make_case(
+    rng: np.random.Generator,
+    shape: Tuple[int, int, int] = (24, 24, 24),
+    n_modalities: int = 5,
+):
+    """One phantom: per-modality noisy views of a random sphere lesion."""
+    d, h, w = shape
+    zz, yy, xx = np.meshgrid(
+        np.arange(d), np.arange(h), np.arange(w), indexing="ij"
+    )
+    center = rng.uniform(0.3, 0.7, size=3) * np.array(shape)
+    radius = rng.uniform(0.15, 0.25) * min(shape)
+    dist = np.sqrt(
+        (zz - center[0]) ** 2 + (yy - center[1]) ** 2 + (xx - center[2]) ** 2
+    )
+    mask = (dist < radius).astype(np.float32)
+
+    images = []
+    for m in range(n_modalities):
+        contrast = rng.uniform(0.5, 2.0)
+        base = rng.normal(100.0, 10.0)
+        img = (
+            base
+            + contrast * 50.0 * mask
+            + rng.normal(0, 5.0, size=shape)
+        ).astype(np.float32)
+        images.append(img)
+    return images, mask
+
+
+def make_synthetic_dataset(
+    root: str,
+    n_cases: int = 6,
+    data_type: str = "BPH",
+    shape: Tuple[int, int, int] = (24, 24, 24),
+    modalities: Sequence[str] = DEFAULT_MODALITIES,
+    seed: int = 0,
+    drop_modalities: Optional[dict] = None,
+    drop_labels: Sequence[str] = (),
+    spacing: Tuple[float, float, float] = (1.0, 1.0, 1.5),
+) -> list:
+    """Write a synthetic data tree; returns the case IDs written.
+
+    Args:
+      drop_modalities: {case_id: [modality, ...]} files to omit (exercises
+        missing-modality strategies).
+      drop_labels: case IDs whose label file is omitted (exercises the
+        label-presence filter).
+    """
+    drop_modalities = drop_modalities or {}
+    rng = np.random.default_rng(seed)
+    case_ids = [f"case{i:03d}" for i in range(n_cases)]
+
+    for m in modalities:
+        os.makedirs(os.path.join(root, "BPH-PCA", data_type, m), exist_ok=True)
+    os.makedirs(os.path.join(root, "BPH-PCA", LABEL_DIR, data_type), exist_ok=True)
+
+    for cid in case_ids:
+        images, mask = make_case(rng, shape, len(modalities))
+        for m, img in zip(modalities, images):
+            if m in drop_modalities.get(cid, []):
+                continue
+            vol = Volume(img, spacing=spacing, origin=(1.0, 2.0, 3.0))
+            write_nifti(vol, os.path.join(root, "BPH-PCA", data_type, m, cid + ".nii.gz"))
+        if cid not in drop_labels:
+            lab = Volume(mask.astype(np.uint8), spacing=spacing, origin=(1.0, 2.0, 3.0))
+            write_nifti(
+                lab,
+                os.path.join(root, "BPH-PCA", LABEL_DIR, data_type, cid + ".nii.gz"),
+            )
+    return case_ids

@@ -1,0 +1,173 @@
+"""Predictor: single-case directory ingest → NIfTI segmentation output.
+
+Capability parity with the reference's ModelPredictor + load_multimodal_images
+(script/predict.py:8-257):
+  * case directory layout: one subdirectory per modality, each holding one
+    volume file (predict.py:29-67);
+  * missing-modality handling at inference: zero_fill (zeros like the
+    reference image), duplicate (reference image stands in), or skip→error
+    (predict.py:38-54);
+  * unified intensity normalization — the same transform the training
+    pipeline applies (fixes the reference's min-max-only-at-predict
+    mismatch, SURVEY.md §8.5);
+  * prediction → threshold 0.5 → uint8 mask written as NIfTI with the
+    spatial metadata copied from the reference modality image
+    (predict.py:174-197's CopyInformation);
+  * full-volume native-resolution inference, with overlap-tiled
+    sliding-window mode for volumes that exceed one window (predict runs
+    whole-volume otherwise).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from pcmseg_tpu.core.config import Config, DEFAULT_MODALITIES
+from pcmseg_tpu.data.io import ALL_EXTS, read_volume, write_volume
+from pcmseg_tpu.data.resample import normalize_intensity, resample_array
+from pcmseg_tpu.data.volume import Volume
+from pcmseg_tpu.infer.sliding_window import sliding_window_predict
+from pcmseg_tpu.infer.validate import load_model_state
+from pcmseg_tpu.models import UNet3D
+from pcmseg_tpu.utils.logging import get_logger
+
+
+def _find_volume_file(directory: str) -> Optional[str]:
+    if not os.path.isdir(directory):
+        return None
+    for f in sorted(os.listdir(directory)):
+        if f.lower().endswith(tuple(e.lower() for e in ALL_EXTS)):
+            return os.path.join(directory, f)
+    return None
+
+
+def load_multimodal_images(
+    case_dir: str,
+    modalities: Sequence[str] = DEFAULT_MODALITIES,
+    handle_missing: str = "zero_fill",
+    normalize: str = "percentile",
+    norm_percentiles: Tuple[float, float] = (1.0, 99.0),
+) -> Tuple[np.ndarray, Volume]:
+    """Load a case dir with per-modality subdirs → ((D,H,W,C), reference Volume).
+
+    The first successfully loaded modality becomes the spatial reference;
+    all modalities are resampled onto its grid shape if they differ.
+    """
+    volumes: Dict[str, Optional[Volume]] = {}
+    reference: Optional[Volume] = None
+    for m in modalities:
+        path = _find_volume_file(os.path.join(case_dir, m))
+        vol = read_volume(path) if path else None
+        volumes[m] = vol
+        if vol is not None and reference is None:
+            reference = vol
+    if reference is None:
+        raise FileNotFoundError(
+            f"no modality volumes found under {case_dir!r} "
+            f"(expected subdirs {list(modalities)})"
+        )
+
+    channels = []
+    for m in modalities:
+        vol = volumes[m]
+        if vol is None:
+            if handle_missing == "zero_fill":
+                channels.append(np.zeros(reference.shape, dtype=np.float32))
+                continue
+            if handle_missing == "duplicate":
+                vol = reference
+            else:
+                raise FileNotFoundError(
+                    f"modality {m!r} missing in {case_dir!r} "
+                    f"(strategy={handle_missing})"
+                )
+        data = vol.data
+        if data.shape != reference.shape:
+            data = resample_array(data, reference.shape, mode="linear")
+        channels.append(
+            normalize_intensity(data, normalize, norm_percentiles)
+        )
+    return np.stack(channels, axis=-1).astype(np.float32), reference
+
+
+class Predictor:
+    """Loads a checkpoint once; predicts cases / arrays / directories."""
+
+    def __init__(self, config: Config, checkpoint_path: str):
+        self.config = config
+        self.log = get_logger("pcmseg.predict")
+        self.model, self.state = load_model_state(config, checkpoint_path)
+        variables = {"params": self.state.params}
+        if self.state.batch_stats:
+            variables["batch_stats"] = self.state.batch_stats
+
+        @jax.jit
+        def _predict(x):
+            return self.model.apply(variables, x, method=UNet3D.predict)
+
+        self._predict = _predict
+
+    def predict_probs(self, image: np.ndarray) -> np.ndarray:
+        """(D,H,W,C) image → (D,H,W,K) sigmoid probabilities.
+
+        Uses whole-volume inference when the image fits one window,
+        sliding-window tiling otherwise (or always when
+        config.sliding_window is set).
+        """
+        image = np.asarray(image, dtype=np.float32)
+        if image.ndim != 4:
+            raise ValueError(f"expected (D,H,W,C), got {image.shape}")
+        ws = self.config.window_size
+        needs_tiling = self.config.sliding_window or any(
+            s > w for s, w in zip(image.shape[:3], ws)
+        )
+        if needs_tiling:
+            return sliding_window_predict(
+                self._predict,
+                image,
+                window_size=ws,
+                overlap=self.config.window_overlap,
+            )
+        return np.asarray(self._predict(image[None]))[0]
+
+    def predict_case(
+        self, case_dir: str, handle_missing: Optional[str] = None
+    ) -> Tuple[np.ndarray, Volume]:
+        """Case dir → (probabilities (D,H,W,K), reference Volume)."""
+        image, reference = load_multimodal_images(
+            case_dir,
+            modalities=self.config.modalities,
+            handle_missing=handle_missing or self.config.missing_strategy,
+            normalize=self.config.normalize,
+            norm_percentiles=self.config.norm_percentiles,
+        )
+        return self.predict_probs(image), reference
+
+    def save_prediction(
+        self,
+        probs: np.ndarray,
+        reference: Volume,
+        output_path: str,
+        threshold: Optional[float] = None,
+    ) -> str:
+        """Threshold → uint8 mask → NIfTI/MHA with copied spatial metadata."""
+        threshold = self.config.threshold if threshold is None else threshold
+        mask = (probs[..., 0] > threshold).astype(np.uint8)
+        out = Volume(mask).copy_information(
+            reference if mask.shape == reference.shape else Volume(mask)
+        )
+        os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
+        write_volume(out, output_path)
+        self.log.info("prediction written to %s", output_path)
+        return output_path
+
+    def predict_and_save(
+        self, case_dir: str, output_path: str, threshold: Optional[float] = None
+    ) -> str:
+        probs, reference = self.predict_case(case_dir)
+        return self.save_prediction(probs, reference, output_path, threshold)

@@ -1,0 +1,103 @@
+"""Overlap-tiled sliding-window inference for arbitrary volume sizes.
+
+The reference ran whole volumes through the net at native resolution
+(script/predict.py:152-172), which at full scan sizes explodes activation
+memory. This is the volumetric analog of long-context tiling: fixed-size
+windows (one XLA compile, static shapes) slide over the volume with
+overlap, predictions are blended by uniform averaging over a coverage
+count map. BASELINE.json names overlap-tiled inference as a target
+capability.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Sequence, Tuple
+
+import numpy as np
+
+
+def _window_starts(size: int, window: int, stride: int) -> List[int]:
+    """Start offsets covering [0, size) with the last window right-aligned."""
+    if size <= window:
+        return [0]
+    starts = list(range(0, size - window + 1, stride))
+    if starts[-1] != size - window:
+        starts.append(size - window)
+    return starts
+
+
+def sliding_window_predict(
+    predict_fn: Callable[[np.ndarray], np.ndarray],
+    image: np.ndarray,
+    window_size: Sequence[int] = (128, 128, 128),
+    overlap: float = 0.5,
+    pad_value: float = 0.0,
+) -> np.ndarray:
+    """Tiled prediction over a (D, H, W, C) volume.
+
+    Args:
+      predict_fn: maps a (1, wd, wh, ww, C) window to (1, wd, wh, ww, K)
+        probabilities (already sigmoided). Called with a single static
+        window shape → one jit compile.
+      image: (D, H, W, C) host array.
+      window_size: (wd, wh, ww) tile.
+      overlap: fraction of window overlapped between neighboring tiles
+        (0 <= overlap < 1).
+
+    Returns:
+      (D, H, W, K) blended probabilities.
+    """
+    if not 0.0 <= overlap < 1.0:
+        raise ValueError(f"overlap must be in [0, 1), got {overlap}")
+    image = np.asarray(image)
+    if image.ndim != 4:
+        raise ValueError(f"expected (D,H,W,C) image, got shape {image.shape}")
+
+    d, h, w, _ = image.shape
+    wd, wh, ww = (int(x) for x in window_size)
+
+    # pad up to window size if the volume is smaller than one tile
+    pad = [max(0, wd - d), max(0, wh - h), max(0, ww - w)]
+    if any(pad):
+        image = np.pad(
+            image,
+            [(0, pad[0]), (0, pad[1]), (0, pad[2]), (0, 0)],
+            constant_values=pad_value,
+        )
+    pd, ph, pw, _ = image.shape
+
+    strides = [max(1, int(round(x * (1.0 - overlap)))) for x in (wd, wh, ww)]
+    starts = (
+        _window_starts(pd, wd, strides[0]),
+        _window_starts(ph, wh, strides[1]),
+        _window_starts(pw, ww, strides[2]),
+    )
+
+    accum = None
+    counts = np.zeros((pd, ph, pw, 1), dtype=np.float32)
+    for z0 in starts[0]:
+        for y0 in starts[1]:
+            for x0 in starts[2]:
+                tile = image[z0 : z0 + wd, y0 : y0 + wh, x0 : x0 + ww, :]
+                probs = np.asarray(predict_fn(tile[None]))[0]
+                if accum is None:
+                    accum = np.zeros(
+                        (pd, ph, pw, probs.shape[-1]), dtype=np.float32
+                    )
+                accum[z0 : z0 + wd, y0 : y0 + wh, x0 : x0 + ww, :] += probs
+                counts[z0 : z0 + wd, y0 : y0 + wh, x0 : x0 + ww, :] += 1.0
+    out = accum / np.maximum(counts, 1.0)
+    return out[:d, :h, :w, :]
+
+
+def grid_shape(
+    volume_shape: Tuple[int, int, int],
+    window_size: Sequence[int],
+    overlap: float,
+) -> Tuple[int, int, int]:
+    """Number of tiles per axis (for progress reporting / cost estimates)."""
+    strides = [max(1, int(round(x * (1.0 - overlap)))) for x in window_size]
+    return tuple(
+        len(_window_starts(max(s, w), w, st))
+        for s, w, st in zip(volume_shape, window_size, strides)
+    )

@@ -1,0 +1,126 @@
+"""Validator: per-case Dice/IoU over a dataset split → validation_results.json.
+
+Capability parity with the reference's ModelValidator
+(script/validate_model.py:98-314): loads a checkpoint (ours, or a PyTorch
+.pth for cross-framework parity checks), runs the model in eval mode,
+thresholds at 0.5, computes per-case Dice and IoU with the reference's
+formulas (eps=1e-8, denominator-only), and writes a field-compatible
+``validation_results.json`` {timestamp, avg_dice, avg_iou, case_count,
+case_results:[{case_id, dice, iou}]}.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from pcmseg_tpu.core.config import Config
+from pcmseg_tpu.data.dataset import ProstateDataset
+from pcmseg_tpu.data.loader import DataLoader
+from pcmseg_tpu.models import UNet3D
+from pcmseg_tpu.train.checkpoints import load_checkpoint
+from pcmseg_tpu.train.steps import create_train_state, jit_eval_step, make_eval_step
+from pcmseg_tpu.utils.artifacts import write_json
+from pcmseg_tpu.utils.logging import get_logger
+
+
+def load_model_state(config: Config, checkpoint_path: str):
+    """Build a state and load weights from an Orbax dir or a torch .pth."""
+    model = UNet3D.from_config(config)
+    d, h, w = config.target_size
+    state = create_train_state(
+        config, jax.random.key(config.seed), model, (1, d, h, w, config.n_modalities)
+    )
+    if checkpoint_path.endswith((".pth", ".pt")):
+        import torch
+
+        from pcmseg_tpu.train.checkpoints import (
+            batch_stats_from_torch_state_dict,
+            params_from_torch_state_dict,
+        )
+
+        sd = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
+        params = params_from_torch_state_dict(sd, state.params)
+        replaced = {"params": params}
+        if state.batch_stats:
+            replaced["batch_stats"] = batch_stats_from_torch_state_dict(
+                sd, state.batch_stats
+            )
+        state = state.replace(**replaced)
+    else:
+        state, _ = load_checkpoint(checkpoint_path, state)
+    return model, state
+
+
+class Validator:
+    """Evaluates a trained model over a dataset (or index subset)."""
+
+    def __init__(
+        self,
+        config: Config,
+        checkpoint_path: str,
+        dataset: Optional[ProstateDataset] = None,
+        indices: Optional[Sequence[int]] = None,
+    ):
+        self.config = config
+        self.log = get_logger("pcmseg.validate")
+        self.dataset = dataset or ProstateDataset(
+            data_dir=config.data_dir,
+            data_type=config.data_type,
+            modalities=config.modalities,
+            missing_strategy=config.missing_strategy,
+            target_size=config.target_size,
+            normalize=config.normalize,
+            norm_percentiles=config.norm_percentiles,
+            cache_dir=config.cache_dir,
+            is_training=False,
+        )
+        self.loader = DataLoader(
+            self.dataset,
+            batch_size=config.batch_size,
+            shuffle=False,
+            indices=indices,
+        )
+        self.model, self.state = load_model_state(config, checkpoint_path)
+        self._eval_step = jit_eval_step(make_eval_step(self.model, config))
+
+    def validate(self, save: bool = True) -> Dict:
+        case_results: List[Dict] = []
+        for batch in self.loader:
+            m = self._eval_step(
+                self.state, {"image": batch["image"], "label": batch["label"]}
+            )
+            for cid, dice, iou in zip(
+                batch["case_id"],
+                np.asarray(m["dice"]).tolist(),
+                np.asarray(m["iou"]).tolist(),
+            ):
+                case_results.append(
+                    {"case_id": cid, "dice": float(dice), "iou": float(iou)}
+                )
+
+        if not case_results:
+            raise RuntimeError("validation ran over zero cases")
+        avg_dice = float(np.mean([r["dice"] for r in case_results]))
+        avg_iou = float(np.mean([r["iou"] for r in case_results]))
+        results = {
+            "timestamp": datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S"),
+            "avg_dice": avg_dice,
+            "avg_iou": avg_iou,
+            "case_count": len(case_results),
+            "case_results": case_results,
+        }
+        self.log.info(
+            "validation: avg dice %.4f avg iou %.4f over %d cases",
+            avg_dice, avg_iou, len(case_results),
+        )
+        if save:
+            write_json(
+                os.path.join(self.config.save_dir, "validation_results.json"),
+                results,
+            )
+        return results

@@ -1,0 +1,211 @@
+"""Orbax checkpointing: one canonical format, latest + best (+ per-fold),
+with *real* resume.
+
+The reference had three ad-hoc torch.save formats and a resume feature that
+was documented but never implemented (SURVEY.md §5 checkpoint row, §8.9).
+Here every checkpoint is an Orbax directory containing:
+
+  * ``state``    — the TrainState pytree (params, opt_state incl. injected
+                   LR, batch_stats, step) via StandardCheckpointer.
+  * ``meta.json``— epoch, monitored loss, fold, config snapshot, and the
+                   host-side scheduler/early-stopping states — everything
+                   needed to continue training exactly where it stopped.
+
+Naming mirrors the reference artifacts: ``latest`` (utils/trainer.py:255),
+``best`` (utils/trainer.py:271), ``best_fold_{k}`` (train_bph_cv.py:397).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _as_abspath(path: str) -> str:
+    return os.path.abspath(os.path.expanduser(path))
+
+
+def save_checkpoint(
+    directory: str,
+    name: str,
+    state,
+    meta: Optional[Dict[str, Any]] = None,
+) -> str:
+    """Save a TrainState + metadata under {directory}/{name}. Overwrites."""
+    directory = _as_abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, name)
+    state_path = os.path.join(path, "state")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path)
+
+    with ocp.StandardCheckpointer() as ckptr:
+        # apply_fn/tx are callables, not state — strip to the data pytree
+        tree = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "batch_stats": state.batch_stats,
+            "step": state.step,
+        }
+        ckptr.save(state_path, tree)
+
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(_jsonable(meta or {}), f, indent=2)
+    return path
+
+
+def _jsonable(obj):
+    if isinstance(obj, dict):
+        return {k: _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, (np.floating, np.integer)):
+        return obj.item()
+    if isinstance(obj, jax.Array):
+        return np.asarray(obj).tolist()
+    return obj
+
+
+def load_checkpoint(path: str, state_template) -> Tuple[Any, Dict[str, Any]]:
+    """Restore (state, meta) from a checkpoint directory.
+
+    ``state_template`` is a freshly built TrainState with the same model/
+    optimizer config; its pytree structure types the restore, and its
+    apply_fn/tx are carried over.
+    """
+    path = _as_abspath(path)
+    state_path = os.path.join(path, "state")
+    template = {
+        "params": state_template.params,
+        "opt_state": state_template.opt_state,
+        "batch_stats": state_template.batch_stats,
+        "step": state_template.step,
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(state_path, template)
+
+    state = state_template.replace(
+        params=tree["params"],
+        opt_state=tree["opt_state"],
+        batch_stats=tree["batch_stats"],
+        step=tree["step"],
+    )
+    meta_file = os.path.join(path, "meta.json")
+    meta = {}
+    if os.path.exists(meta_file):
+        with open(meta_file) as f:
+            meta = json.load(f)
+    return state, meta
+
+
+def checkpoint_exists(directory: str, name: str) -> bool:
+    return os.path.isdir(os.path.join(_as_abspath(directory), name, "state"))
+
+
+def latest_path(directory: str) -> str:
+    return os.path.join(_as_abspath(directory), "latest")
+
+
+# ---- torch interop ---------------------------------------------------------
+
+
+def params_from_torch_state_dict(state_dict, params) -> Any:
+    """Map a reference-layout PyTorch UNet3D state_dict onto our params.
+
+    Used for numerics-parity validation against PyTorch checkpoints
+    (the reference's .pth files: bare state dicts or
+    {'model_state_dict': ...}, script/validate_model.py:174-180).
+
+    Layout mapping:
+      torch Conv3d weight  (O, I, kD, kH, kW) → flax (kD, kH, kW, I, O)
+      torch ConvTranspose3d weight (I, O, kD, kH, kW)
+          → flax ConvTranspose kernel (kD, kH, kW, I, O)  [flipped spatially]
+      torch BN weight/bias/running_mean/running_var → scale/bias/mean/var
+
+    Module-name mapping (reference models/unet3d.py:197-222 → ours):
+      inc.conv.{0,3}        → inc/conv{0,1};      inc.conv.{1,4} → inc/norm{0,1}
+      downN.maxpool_conv.1  → downN/double_conv;  upN.up → upN/up
+      upN.conv              → upN/double_conv;    outc → outc
+    """
+    import torch
+
+    if "model_state_dict" in state_dict:
+        state_dict = state_dict["model_state_dict"]
+
+    def t2n(t):
+        return np.asarray(t.detach().cpu().numpy())
+
+    flat = dict(state_dict.items())
+    new_params = jax.tree_util.tree_map(lambda x: x, params)  # copy structure
+
+    def conv_kernel(w):
+        # (O, I, kD, kH, kW) → (kD, kH, kW, I, O)
+        return np.transpose(t2n(w), (2, 3, 4, 1, 0))
+
+    def convT_kernel(w):
+        # torch (I, O, kD, kH, kW); torch convT applies the kernel
+        # spatially flipped relative to flax's ConvTranspose gather
+        a = np.transpose(t2n(w), (2, 3, 4, 0, 1))  # (kD,kH,kW,I,O)
+        return a[::-1, ::-1, ::-1]
+
+    def dc_map(torch_prefix, ours):
+        """torch Sequential DoubleConv → our conv0/norm0/conv1/norm1."""
+        for ti, (cname, nname) in ((0, ("conv0", "norm0")), (3, ("conv1", "norm1"))):
+            ours[cname]["kernel"] = conv_kernel(flat[f"{torch_prefix}.{ti}.weight"])
+            ours[cname]["bias"] = t2n(flat[f"{torch_prefix}.{ti}.bias"])
+            ours[nname]["scale"] = t2n(flat[f"{torch_prefix}.{ti + 1}.weight"])
+            ours[nname]["bias"] = t2n(flat[f"{torch_prefix}.{ti + 1}.bias"])
+
+    p = jax.tree_util.tree_map(np.asarray, new_params)
+    p = jax.device_get(p)
+    p = _to_mutable(p)
+
+    dc_map("inc.conv", p["inc"])
+    for i in range(1, 5):
+        dc_map(f"down{i}.maxpool_conv.1.conv", p[f"down{i}"]["double_conv"])
+    for i in range(1, 5):
+        up = p[f"up{i}"]
+        up["up"]["kernel"] = convT_kernel(flat[f"up{i}.up.weight"])
+        up["up"]["bias"] = t2n(flat[f"up{i}.up.bias"])
+        dc_map(f"up{i}.conv.conv", up["double_conv"])
+    p["outc"]["kernel"] = conv_kernel(flat["outc.weight"])
+    p["outc"]["bias"] = t2n(flat["outc.bias"])
+    return p
+
+
+def batch_stats_from_torch_state_dict(state_dict, batch_stats) -> Any:
+    """Running mean/var from a torch state_dict onto our batch_stats tree."""
+    import torch  # noqa: F401
+
+    if "model_state_dict" in state_dict:
+        state_dict = state_dict["model_state_dict"]
+
+    def t2n(t):
+        return np.asarray(t.detach().cpu().numpy())
+
+    flat = dict(state_dict.items())
+    bs = _to_mutable(jax.device_get(batch_stats))
+
+    def bn_map(torch_prefix, ours):
+        for ti, nname in ((1, "norm0"), (4, "norm1")):
+            ours[nname]["mean"] = t2n(flat[f"{torch_prefix}.{ti}.running_mean"])
+            ours[nname]["var"] = t2n(flat[f"{torch_prefix}.{ti}.running_var"])
+
+    bn_map("inc.conv", bs["inc"])
+    for i in range(1, 5):
+        bn_map(f"down{i}.maxpool_conv.1.conv", bs[f"down{i}"]["double_conv"])
+        bn_map(f"up{i}.conv.conv", bs[f"up{i}"]["double_conv"])
+    return bs
+
+
+def _to_mutable(tree):
+    if isinstance(tree, dict):
+        return {k: _to_mutable(v) for k, v in tree.items()}
+    return tree

@@ -1,0 +1,224 @@
+"""Jitted train/eval steps: value_and_grad + optax, global-batch losses.
+
+The TPU-native core of what the reference spreads across four trainer
+classes (utils/trainer.py:160-234, train_bph.py:127-200,
+train_bph_optimized.py:255-345): one traced-once train step doing
+fwd → loss → bwd → clip → Adam(+wd) → BN-stat update, and one eval step
+returning loss plus per-sample Dice/IoU.
+
+Optimizer parity with the reference:
+  * Adam(lr, betas=(0.9, 0.999), eps=1e-8) with torch-style weight_decay
+    1e-5 (decay added to the gradient *before* the Adam moments —
+    optax.add_decayed_weights placed before scale_by_adam).
+  * Global-norm gradient clipping at 1.0 (reference train_bph.py:166).
+  * The learning rate is an injected hyperparameter living in the optimizer
+    state so the host-side ReduceLROnPlateau can change it between epochs
+    without retracing (see pcmseg_tpu/train/schedule.py).
+
+Mixed precision: the model computes in bf16 (no loss scaling needed on TPU,
+unlike the reference's CUDA-AMP GradScaler at train_bph_optimized.py:248);
+params, optimizer moments, BN stats, and the loss reduction stay fp32.
+
+Label/output shape reconciliation mirrors the reference CV trainer
+(train_bph_optimized.py:272-291): channel-dim unsqueeze and nearest-neighbor
+resize of labels to the logits' spatial shape, done with static shapes so it
+is jit-compatible.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.training import train_state
+
+from pcmseg_tpu.ops.losses import make_loss_fn
+from pcmseg_tpu.ops.metrics import EPS
+
+
+class TrainState(train_state.TrainState):
+    """Flax TrainState extended with BatchNorm running statistics."""
+
+    batch_stats: Any = struct.field(default_factory=dict)
+
+
+def _adam_chain(
+    learning_rate,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 1e-5,
+    grad_clip_norm: float = 1.0,
+):
+    parts = []
+    if grad_clip_norm and grad_clip_norm > 0:
+        parts.append(optax.clip_by_global_norm(grad_clip_norm))
+    if weight_decay and weight_decay > 0:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+    parts.append(optax.scale(-1.0))
+    parts.append(optax.scale(learning_rate))
+    return optax.chain(*parts)
+
+
+def make_optimizer(config) -> optax.GradientTransformation:
+    if config.optimizer != "adam":
+        raise ValueError(f"unsupported optimizer: {config.optimizer!r}")
+    return optax.inject_hyperparams(
+        _adam_chain,
+        static_args=("b1", "b2", "eps", "weight_decay", "grad_clip_norm"),
+    )(
+        learning_rate=config.learning_rate,
+        b1=config.betas[0],
+        b2=config.betas[1],
+        eps=config.eps,
+        weight_decay=config.weight_decay,
+        grad_clip_norm=config.grad_clip_norm,
+    )
+
+
+def get_learning_rate(state: TrainState) -> float:
+    return float(state.opt_state.hyperparams["learning_rate"])
+
+
+def set_learning_rate(state: TrainState, lr: float) -> TrainState:
+    """Functionally update the injected learning rate (no retrace)."""
+    hp = dict(state.opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, dtype=jnp.asarray(hp["learning_rate"]).dtype)
+    return state.replace(opt_state=state.opt_state._replace(hyperparams=hp))
+
+
+def create_train_state(
+    config,
+    rng: jax.Array,
+    model=None,
+    input_shape=None,
+) -> TrainState:
+    """Initialize model variables + optimizer into a TrainState."""
+    from pcmseg_tpu.models import UNet3D
+
+    model = model or UNet3D.from_config(config)
+    variables = model.init_variables(rng, input_shape)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=make_optimizer(config),
+    )
+
+
+def align_labels(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Reconcile label shape with logits (reference train_bph_optimized.py:272-291).
+
+    Adds the trailing channel dim if missing, then nearest-neighbor-resizes
+    the spatial dims to match the logits. All shapes are static under jit.
+    """
+    if labels.ndim == logits.ndim - 1:
+        labels = labels[..., None]
+    if labels.shape[1:-1] != logits.shape[1:-1]:
+        labels = jax.image.resize(
+            labels,
+            labels.shape[:1] + logits.shape[1:-1] + labels.shape[-1:],
+            method="nearest",
+        )
+    return labels
+
+
+def make_train_step(
+    model,
+    config,
+    loss_fn: Optional[Callable] = None,
+) -> Callable:
+    """Build the jit-ready train step: (state, batch) -> (state, metrics).
+
+    ``batch`` is a dict with 'image' (N,D,H,W,C) and 'label' (N,D,H,W,1).
+    Under a sharded batch the loss/grad reductions are global, so gradient
+    all-reduce and cross-replica BN come from GSPMD automatically.
+    """
+    loss_fn = loss_fn or make_loss_fn(
+        config.loss,
+        dice_smooth=config.dice_smooth,
+        bce_weight=config.bce_weight,
+        dice_weight=config.dice_weight,
+    )
+    has_bn = model.norm_layer == "batch"
+
+    def train_step(state: TrainState, batch):
+        images = batch["image"]
+        labels = batch["label"]
+
+        def loss_of(params):
+            variables = {"params": params}
+            if has_bn:
+                variables["batch_stats"] = state.batch_stats
+                logits, mut = state.apply_fn(
+                    variables, images, train=True, mutable=["batch_stats"]
+                )
+                new_stats = mut["batch_stats"]
+            else:
+                logits = state.apply_fn(variables, images, train=True)
+                new_stats = state.batch_stats
+            loss = loss_fn(logits, align_labels(logits, labels))
+            return loss, new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, config, loss_fn: Optional[Callable] = None) -> Callable:
+    """Build the eval step: (state, batch) -> metrics dict.
+
+    Returns the batch loss plus *per-sample* Dice/IoU at the configured
+    threshold (reference validate_model.py:216-248 computes these per case).
+    """
+    loss_fn = loss_fn or make_loss_fn(
+        config.loss,
+        dice_smooth=config.dice_smooth,
+        bce_weight=config.bce_weight,
+        dice_weight=config.dice_weight,
+    )
+    has_bn = model.norm_layer == "batch"
+    threshold = config.threshold
+
+    def eval_step(state: TrainState, batch):
+        images = batch["image"]
+        labels = batch["label"]
+        variables = {"params": state.params}
+        if has_bn:
+            variables["batch_stats"] = state.batch_stats
+        logits = state.apply_fn(variables, images, train=False)
+        labels = align_labels(logits, labels)
+        loss = loss_fn(logits, labels)
+
+        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        pred = (probs > threshold).astype(jnp.float32)
+        n = pred.shape[0]
+        p = pred.reshape(n, -1)
+        t = labels.reshape(n, -1).astype(jnp.float32)
+        inter = jnp.sum(p * t, axis=1)
+        psum, tsum = jnp.sum(p, axis=1), jnp.sum(t, axis=1)
+        dice = (2.0 * inter) / (psum + tsum + EPS)
+        iou = inter / (psum + tsum - inter + EPS)
+        return {"loss": loss, "dice": dice, "iou": iou}
+
+    return eval_step
+
+
+def jit_train_step(train_step, donate: bool = True):
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def jit_eval_step(eval_step):
+    return jax.jit(eval_step)

@@ -1,0 +1,292 @@
+"""Single-split trainer: the capabilities of the reference's BaseTrainer /
+BPHTrainer (utils/trainer.py:23-345, train_bph.py:24-348) on the TPU stack.
+
+One epoch loop with:
+  * jitted train/eval steps (donated state, bf16 compute, DP/spatial mesh)
+  * host-side ReduceLROnPlateau (patience 10, factor 0.5) driving the
+    injected optimizer LR
+  * early stopping on the monitored loss (val loss when validation is on,
+    train loss otherwise — unifying the reference's split behavior,
+    SURVEY.md §8.8)
+  * grad-clip 1.0 through the optax chain (train_bph.py:166 parity)
+  * checkpoints: ``latest`` every epoch, ``best`` on improvement, periodic
+    ``epoch_{e}`` every ``save_frequency`` epochs — plus REAL resume from
+    ``latest`` (the reference claimed resume but never implemented it,
+    SURVEY.md §8.9)
+  * train-history dict {'train_loss': [...], 'val_loss': [...]} like
+    train_bph.py:122-125 / train_bph_cv.py:227.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from pcmseg_tpu.core.config import Config
+from pcmseg_tpu.data.dataset import ProstateDataset
+from pcmseg_tpu.data.loader import DataLoader, prefetch_to_device
+from pcmseg_tpu.models import UNet3D
+from pcmseg_tpu.parallel.sharding import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_state,
+)
+from pcmseg_tpu.train.checkpoints import (
+    checkpoint_exists,
+    load_checkpoint,
+    save_checkpoint,
+)
+from pcmseg_tpu.train.schedule import EarlyStopping, ReduceLROnPlateau
+from pcmseg_tpu.train.steps import (
+    create_train_state,
+    jit_eval_step,
+    jit_train_step,
+    make_eval_step,
+    make_train_step,
+    set_learning_rate,
+)
+from pcmseg_tpu.utils.logging import StepTimer, get_logger
+
+
+class Trainer:
+    """Config-driven trainer over one train(/val) split."""
+
+    def __init__(
+        self,
+        config: Config,
+        dataset: Optional[ProstateDataset] = None,
+        train_indices: Optional[Sequence[int]] = None,
+        val_indices: Optional[Sequence[int]] = None,
+        tag: str = "",
+    ):
+        self.config = config
+        self.tag = tag
+        self.log = get_logger(f"pcmseg.trainer{('.' + tag) if tag else ''}")
+
+        self.dataset = dataset or ProstateDataset(
+            data_dir=config.data_dir,
+            data_type=config.data_type,
+            modalities=config.modalities,
+            missing_strategy=config.missing_strategy,
+            target_size=config.target_size,
+            normalize=config.normalize,
+            norm_percentiles=config.norm_percentiles,
+            cache_dir=config.cache_dir,
+        )
+        if len(self.dataset) == 0:
+            raise RuntimeError(
+                f"no valid cases found under {config.data_dir!r} "
+                f"(data_type={config.data_type})"
+            )
+
+        # -- split ----------------------------------------------------------
+        n = len(self.dataset)
+        if train_indices is None:
+            if config.validation and n >= 2:
+                rng = np.random.default_rng(config.seed)
+                perm = rng.permutation(n)
+                n_val = max(1, int(round(n * config.val_fraction)))
+                val_indices = np.sort(perm[:n_val]).tolist()
+                train_indices = np.sort(perm[n_val:]).tolist()
+            else:
+                train_indices = list(range(n))
+                val_indices = None
+        self.train_indices = list(train_indices)
+        self.val_indices = list(val_indices) if val_indices is not None else None
+
+        self.train_loader = DataLoader(
+            self.dataset,
+            batch_size=config.batch_size,
+            shuffle=True,
+            indices=self.train_indices,
+            seed=config.seed,
+        )
+        self.val_loader = (
+            DataLoader(
+                self.dataset,
+                batch_size=config.batch_size,
+                shuffle=False,
+                indices=self.val_indices,
+            )
+            if self.val_indices
+            else None
+        )
+
+        # -- model / state / mesh --------------------------------------------
+        self.model = UNet3D.from_config(config)
+        d, h, w = config.target_size
+        init_shape = (1, d, h, w, config.n_modalities)
+        self.state = create_train_state(
+            config, jax.random.key(config.seed), self.model, init_shape
+        )
+        try:
+            self.mesh = make_mesh(config.data_parallel, config.spatial_parallel)
+        except ValueError:
+            self.log.warning("mesh config infeasible on this host; using 1x1")
+            self.mesh = make_mesh(1, 1)
+        self.state = shard_state(self.state, self.mesh)
+
+        self._train_step = jit_train_step(
+            make_train_step(self.model, config), donate=config.donate_state
+        )
+        self._eval_step = jit_eval_step(make_eval_step(self.model, config))
+
+        self.scheduler = ReduceLROnPlateau.from_config(config)
+        self.early_stopping = EarlyStopping(patience=config.patience)
+        self.history: Dict[str, List[float]] = {"train_loss": [], "val_loss": []}
+        self.best_monitor = float("inf")
+        self.start_epoch = 0
+        self.timer = StepTimer(warmup_steps=1)
+
+        if config.resume:
+            self._try_resume()
+
+    # -- checkpoint plumbing ---------------------------------------------------
+
+    def _ckpt_name(self, base: str) -> str:
+        return f"{base}_{self.tag}" if self.tag else base
+
+    def _meta(self, epoch: int, monitor: float) -> dict:
+        return {
+            "epoch": epoch,
+            "monitor": monitor,
+            "best_monitor": self.best_monitor,
+            "history": self.history,
+            "scheduler": self.scheduler.state_dict(),
+            "early_stopping": self.early_stopping.state_dict(),
+            "config": self.config.to_dict(),
+            "tag": self.tag,
+        }
+
+    def _try_resume(self) -> None:
+        name = self._ckpt_name("latest")
+        if not checkpoint_exists(self.config.save_dir, name):
+            self.log.info("resume requested but no latest checkpoint; fresh start")
+            return
+        path = os.path.join(self.config.save_dir, name)
+        self.state, meta = load_checkpoint(path, self.state)
+        self.state = shard_state(self.state, self.mesh)
+        self.history = meta.get("history", self.history)
+        self.best_monitor = meta.get("best_monitor", float("inf"))
+        self.start_epoch = int(meta.get("epoch", -1)) + 1
+        if "scheduler" in meta:
+            self.scheduler.load_state_dict(meta["scheduler"])
+        if "early_stopping" in meta:
+            self.early_stopping.load_state_dict(meta["early_stopping"])
+        self.log.info("resumed from %s at epoch %d", path, self.start_epoch)
+
+    # -- epoch loops -----------------------------------------------------------
+
+    def _device_batches(self, loader: DataLoader):
+        dp = self.mesh.shape["data"]
+
+        def shard_for(batch):
+            n = batch["image"].shape[0]
+            if n % max(dp, 1) == 0:
+                return batch_sharding(self.mesh, 5)
+            return replicated(self.mesh)  # ragged tail batch: replicate
+
+        for batch in loader:
+            sharding = shard_for(batch)
+            yield {
+                k: (
+                    jax.device_put(v, sharding)
+                    if isinstance(v, np.ndarray)
+                    else v
+                )
+                for k, v in batch.items()
+            }
+
+    def train_epoch(self) -> float:
+        losses = []
+        for batch in self._device_batches(self.train_loader):
+            n = batch["image"].shape[0]
+            self.timer.start()
+            self.state, metrics = self._train_step(
+                self.state, {"image": batch["image"], "label": batch["label"]}
+            )
+            loss = float(metrics["loss"])  # D2H sync once per step
+            self.timer.stop(items=n)
+            if not np.isfinite(loss):
+                raise FloatingPointError(
+                    f"non-finite training loss ({loss}) at step "
+                    f"{int(self.state.step)} — aborting instead of training on"
+                )
+            losses.append(loss)
+        return float(np.mean(losses)) if losses else float("nan")
+
+    def validate_epoch(self) -> Dict[str, float]:
+        losses, dices, ious = [], [], []
+        for batch in self._device_batches(self.val_loader):
+            m = self._eval_step(
+                self.state, {"image": batch["image"], "label": batch["label"]}
+            )
+            losses.append(float(m["loss"]))
+            dices.extend(np.asarray(m["dice"]).tolist())
+            ious.extend(np.asarray(m["iou"]).tolist())
+        return {
+            "loss": float(np.mean(losses)),
+            "dice": float(np.mean(dices)),
+            "iou": float(np.mean(ious)),
+        }
+
+    def train(self) -> Dict[str, List[float]]:
+        cfg = self.config
+        self.log.info(
+            "training %d cases (val: %s) for %d epochs, batch %d, mesh %s",
+            len(self.train_indices),
+            len(self.val_indices) if self.val_indices else 0,
+            cfg.num_epochs,
+            cfg.batch_size,
+            dict(self.mesh.shape),
+        )
+        for epoch in range(self.start_epoch, cfg.num_epochs):
+            train_loss = self.train_epoch()
+            self.history["train_loss"].append(train_loss)
+
+            if self.val_loader is not None:
+                val = self.validate_epoch()
+                self.history["val_loss"].append(val["loss"])
+                monitor = val["loss"]
+                self.log.info(
+                    "epoch %d: train %.4f val %.4f dice %.4f iou %.4f "
+                    "lr %.2e (%.2f vol/s)",
+                    epoch, train_loss, val["loss"], val["dice"], val["iou"],
+                    self.scheduler.lr, self.timer.items_per_sec,
+                )
+            else:
+                monitor = train_loss
+                self.log.info(
+                    "epoch %d: train %.4f lr %.2e (%.2f vol/s)",
+                    epoch, train_loss, self.scheduler.lr, self.timer.items_per_sec,
+                )
+
+            # LR plateau schedule → injected hyperparam
+            new_lr = self.scheduler.step(monitor)
+            self.state = set_learning_rate(self.state, new_lr)
+
+            # checkpoints: latest always; best on monitored improvement
+            save_checkpoint(
+                cfg.save_dir, self._ckpt_name("latest"), self.state,
+                self._meta(epoch, monitor),
+            )
+            if monitor < self.best_monitor:
+                self.best_monitor = monitor
+                save_checkpoint(
+                    cfg.save_dir, self._ckpt_name("best"), self.state,
+                    self._meta(epoch, monitor),
+                )
+            if cfg.save_frequency and (epoch + 1) % cfg.save_frequency == 0:
+                save_checkpoint(
+                    cfg.save_dir, self._ckpt_name(f"epoch_{epoch + 1}"),
+                    self.state, self._meta(epoch, monitor),
+                )
+
+            if cfg.early_stopping and self.early_stopping.step(monitor):
+                self.log.info("early stopping at epoch %d", epoch)
+                break
+        return self.history

@@ -1,0 +1,52 @@
+"""Profiling hooks: jax.profiler traces + simple step annotations.
+
+The reference had no tracing at all (SURVEY.md §5); here a config-free
+context manager wraps any region in a TensorBoard-compatible XLA trace,
+and ``annotate`` marks named host spans inside it.
+
+Usage:
+    from pcmseg_tpu.utils.profiling import trace, annotate
+    with trace("/tmp/pcmseg_trace"):
+        for step in range(10):
+            with annotate(f"step{step}"):
+                state, m = train_step(state, batch)
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Iterator, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: Optional[str]) -> Iterator[None]:
+    """XLA profiler trace over the enclosed region (no-op if log_dir=None)."""
+    if not log_dir:
+        yield
+        return
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named host-side span, visible in the profiler timeline."""
+    return jax.profiler.TraceAnnotation(name)
+
+
+@contextlib.contextmanager
+def device_memory_report() -> Iterator[None]:
+    """Print per-device memory stats after the enclosed region (best effort)."""
+    try:
+        yield
+    finally:
+        for d in jax.local_devices():
+            stats = getattr(d, "memory_stats", lambda: None)()
+            if stats:
+                used = stats.get("bytes_in_use", 0) / 2**30
+                limit = stats.get("bytes_limit", 0) / 2**30
+                print(f"{d}: {used:.2f} GiB in use / {limit:.2f} GiB limit")

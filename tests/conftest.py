@@ -1,21 +1,39 @@
 """Test configuration: run everything on CPU with 8 virtual devices.
 
-This must run before jax is imported anywhere, so it lives at the top of
-conftest.py. The 8-device virtual CPU mesh exercises the data-parallel and
+The environment's sitecustomize registers the 'axon' TPU backend at
+interpreter start (importing jax before conftest runs), so JAX_PLATFORMS
+in os.environ is too late — force the platform through jax.config instead.
+XLA_FLAGS is read lazily at first backend init, so setting it here still
+works. The 8-device virtual CPU mesh exercises the data-parallel and
 spatial-sharding paths without TPU hardware (SURVEY.md §4's plan).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu_mesh():
+    assert jax.default_backend() == "cpu", (
+        f"tests must run on CPU, got {jax.default_backend()}"
+    )
+    assert jax.device_count() == 8, (
+        f"expected 8 virtual CPU devices, got {jax.device_count()}"
+    )
+    yield
 
 
 @pytest.fixture(scope="session")

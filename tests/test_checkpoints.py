@@ -1,0 +1,97 @@
+"""Checkpoint save/load/resume and torch state_dict conversion."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcmseg_tpu.core.config import get_config
+from pcmseg_tpu.models import UNet3D
+from pcmseg_tpu.train.checkpoints import (
+    checkpoint_exists,
+    load_checkpoint,
+    save_checkpoint,
+)
+from pcmseg_tpu.train.steps import create_train_state, get_learning_rate, set_learning_rate
+
+
+def tiny_config(**kw):
+    kw.setdefault("base_features", 4)
+    kw.setdefault("remat", False)
+    kw.setdefault("compute_dtype", "float32")
+    kw.setdefault("target_size", (16, 16, 16))
+    return get_config("quick", **kw)
+
+
+def test_save_load_roundtrip(tmp_path):
+    config = tiny_config()
+    model = UNet3D.from_config(config)
+    state = create_train_state(config, jax.random.key(0), model)
+    state = set_learning_rate(state, 3.21e-4)
+    meta = {"epoch": 7, "monitor": 0.123, "history": {"train_loss": [1.0, 0.5]}}
+
+    path = save_checkpoint(str(tmp_path), "latest", state, meta)
+    assert checkpoint_exists(str(tmp_path), "latest")
+
+    template = create_train_state(config, jax.random.key(1), model)
+    restored, meta2 = load_checkpoint(path, template)
+
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert get_learning_rate(restored) == pytest.approx(3.21e-4)
+    assert meta2["epoch"] == 7 and meta2["history"]["train_loss"] == [1.0, 0.5]
+
+
+def test_save_overwrites(tmp_path):
+    config = tiny_config()
+    model = UNet3D.from_config(config)
+    state = create_train_state(config, jax.random.key(0), model)
+    save_checkpoint(str(tmp_path), "best", state, {"epoch": 1})
+    save_checkpoint(str(tmp_path), "best", state, {"epoch": 2})
+    template = create_train_state(config, jax.random.key(1), model)
+    _, meta = load_checkpoint(str(tmp_path / "best"), template)
+    assert meta["epoch"] == 2
+
+
+def test_torch_state_dict_conversion_full_model():
+    """Load reference-layout torch weights and check exact forward parity."""
+    torch = pytest.importorskip("torch")
+    import sys, os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from measure_torch_baseline import TorchUNet3D
+
+    from pcmseg_tpu.train.checkpoints import (
+        batch_stats_from_torch_state_dict,
+        params_from_torch_state_dict,
+    )
+
+    f = 4
+    tm = TorchUNet3D(n_mod=5, n_classes=1, f=f).eval()
+    # rename the compact test model's modules to the reference layout
+    sd = {}
+    for k, v in tm.state_dict().items():
+        k = k.replace("inc.", "inc.conv.")
+        for i in range(4):
+            k = k.replace(f"downs.{i}.", f"down{i+1}.maxpool_conv.1.conv.")
+            k = k.replace(f"ups.{i}.", f"up{i+1}.up.")
+            k = k.replace(f"up_convs.{i}.", f"up{i+1}.conv.conv.")
+        k = k.replace("outc.weight", "outc.weight").replace("outc.bias", "outc.bias")
+        sd[k] = v
+
+    config = tiny_config(base_features=f)
+    model = UNet3D.from_config(config)
+    state = create_train_state(config, jax.random.key(0), model)
+    params = params_from_torch_state_dict(sd, state.params)
+    stats = batch_stats_from_torch_state_dict(sd, state.batch_stats)
+
+    x = np.random.default_rng(0).normal(size=(1, 16, 16, 16, 5)).astype(np.float32)
+    ours = model.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x), train=False
+    )
+    with torch.no_grad():
+        theirs = tm(torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3))))
+    theirs = np.transpose(theirs.numpy(), (0, 2, 3, 4, 1))
+    # conv accumulation order differs between XLA and torch; 2e-3 on logits
+    # still catches any layout/mapping mistake (those err at O(1))
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-3, rtol=1e-2)

@@ -1,0 +1,222 @@
+"""End-to-end: synthetic NIfTI tree → train → checkpoint → resume →
+cross-validate → validate → predict → CLI. The whole capability surface on
+tiny shapes (SURVEY.md §4's integration-test plan)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pcmseg_tpu.core.config import get_config
+from pcmseg_tpu.data.synthetic import make_synthetic_dataset
+
+TARGET = (16, 16, 16)
+N_CASES = 8
+
+
+def tiny_config(root, save_dir, **kw):
+    kw.setdefault("base_features", 4)
+    kw.setdefault("remat", False)
+    kw.setdefault("compute_dtype", "float32")
+    kw.setdefault("target_size", TARGET)
+    kw.setdefault("batch_size", 2)
+    kw.setdefault("num_epochs", 2)
+    kw.setdefault("learning_rate", 3e-3)
+    kw.setdefault("val_fraction", 0.25)
+    kw.setdefault("early_stopping", False)
+    kw.setdefault("save_frequency", 0)
+    return get_config(
+        "standard", data_dir=root, save_dir=save_dir, **kw
+    )
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("e2e_data"))
+    make_synthetic_dataset(root, n_cases=N_CASES, shape=(20, 20, 20), seed=3)
+    return root
+
+
+@pytest.fixture(scope="module")
+def trained(data_root, tmp_path_factory):
+    """Train once for 2 epochs; reused by resume/validate/predict tests."""
+    from pcmseg_tpu.train.trainer import Trainer
+
+    save_dir = str(tmp_path_factory.mktemp("ckpt"))
+    config = tiny_config(data_root, save_dir)
+    trainer = Trainer(config)
+    history = trainer.train()
+    return config, save_dir, history
+
+
+def test_training_produces_history_and_checkpoints(trained):
+    config, save_dir, history = trained
+    assert len(history["train_loss"]) == 2
+    assert len(history["val_loss"]) == 2
+    assert all(np.isfinite(history["train_loss"]))
+    assert os.path.isdir(os.path.join(save_dir, "latest", "state"))
+    assert os.path.isdir(os.path.join(save_dir, "best", "state"))
+    meta = json.load(open(os.path.join(save_dir, "latest", "meta.json")))
+    assert meta["epoch"] == 1
+    assert meta["config"]["base_features"] == 4
+
+
+def test_resume_continues_from_latest(trained, data_root):
+    from pcmseg_tpu.train.trainer import Trainer
+
+    config, save_dir, history = trained
+    config2 = config.replace(resume=True, num_epochs=3)
+    trainer = Trainer(config2)
+    assert trainer.start_epoch == 2
+    # history carried over; one more epoch appended
+    h = trainer.train()
+    assert len(h["train_loss"]) == 3
+    assert h["train_loss"][:2] == history["train_loss"]
+
+
+def test_validator_on_trained_checkpoint(trained, data_root):
+    from pcmseg_tpu.infer.validate import Validator
+
+    config, save_dir, _ = trained
+    v = Validator(config, os.path.join(save_dir, "best"))
+    results = v.validate()
+    assert results["case_count"] == N_CASES
+    assert 0.0 <= results["avg_dice"] <= 1.0
+    assert 0.0 <= results["avg_iou"] <= results["avg_dice"] + 1e-9
+    path = os.path.join(config.save_dir, "validation_results.json")
+    saved = json.load(open(path))
+    assert set(saved) == {
+        "timestamp", "avg_dice", "avg_iou", "case_count", "case_results",
+    }
+    assert {r["case_id"] for r in saved["case_results"]} == {
+        f"case{i:03d}" for i in range(N_CASES)
+    }
+
+
+def test_predictor_case_dir_and_nifti_output(trained, data_root, tmp_path):
+    from pcmseg_tpu.data.io import read_volume
+    from pcmseg_tpu.infer.predict import Predictor
+
+    config, save_dir, _ = trained
+    # build a predict-style case dir (one subdir per modality) from case000
+    case_dir = str(tmp_path / "case000")
+    for m in config.modalities:
+        os.makedirs(os.path.join(case_dir, m))
+        src = os.path.join(
+            data_root, "BPH-PCA", "BPH", m, "case000.nii.gz"
+        )
+        import shutil
+
+        shutil.copy(src, os.path.join(case_dir, m, "image.nii.gz"))
+
+    predictor = Predictor(config, os.path.join(save_dir, "best"))
+    out_path = str(tmp_path / "pred" / "seg.nii.gz")
+    predictor.predict_and_save(case_dir, out_path)
+
+    pred = read_volume(out_path)
+    src_vol = read_volume(
+        os.path.join(data_root, "BPH-PCA", "BPH", "ADC", "case000.nii.gz")
+    )
+    assert pred.shape == src_vol.shape  # native-resolution prediction
+    assert set(np.unique(pred.data)) <= {0, 1}
+    # spatial metadata copied from the reference image
+    np.testing.assert_allclose(pred.spacing, src_vol.spacing, rtol=1e-5)
+    np.testing.assert_allclose(pred.origin, src_vol.origin, rtol=1e-5)
+
+
+def test_predictor_missing_modality_strategies(trained, data_root, tmp_path):
+    from pcmseg_tpu.infer.predict import load_multimodal_images
+
+    config, _, _ = trained
+    case_dir = str(tmp_path / "partial_case")
+    import shutil
+
+    for m in ["ADC", "DWI"]:  # only 2 of 5 modalities present
+        os.makedirs(os.path.join(case_dir, m))
+        shutil.copy(
+            os.path.join(data_root, "BPH-PCA", "BPH", m, "case001.nii.gz"),
+            os.path.join(case_dir, m, "img.nii.gz"),
+        )
+
+    img_zero, ref = load_multimodal_images(
+        case_dir, config.modalities, handle_missing="zero_fill"
+    )
+    assert img_zero.shape == ref.shape + (5,)
+    assert np.all(img_zero[..., 2] == 0)
+
+    img_dup, _ = load_multimodal_images(
+        case_dir, config.modalities, handle_missing="duplicate"
+    )
+    np.testing.assert_array_equal(img_dup[..., 2], img_dup[..., 0])
+
+    with pytest.raises(FileNotFoundError):
+        load_multimodal_images(case_dir, config.modalities, handle_missing="skip")
+
+
+def test_cross_validation_trainer(data_root, tmp_path):
+    from pcmseg_tpu.train.cv import CrossValidationTrainer
+
+    save_dir = str(tmp_path / "cv_ckpt")
+    config = tiny_config(
+        data_root, save_dir, n_splits=2, num_epochs=1, validation=True
+    )
+    cv = CrossValidationTrainer(config)
+    results = cv.train()
+
+    assert results["summary"]["total_folds"] == 2
+    assert np.isfinite(results["summary"]["mean_val_loss"])
+    saved = json.load(open(os.path.join(save_dir, "cv_results.json")))
+    assert set(saved) == {"config", "fold_results", "summary"}
+    assert [r["fold"] for r in saved["fold_results"]] == [1, 2]
+    assert set(saved["fold_results"][0]) == {
+        "fold", "best_val_loss", "epochs_trained",
+    }
+    for k in range(2):
+        hist = json.load(open(os.path.join(save_dir, f"fold_{k}_history.json")))
+        assert set(hist) == {"train_loss", "val_loss"}
+        assert os.path.isdir(os.path.join(save_dir, f"best_fold_{k}", "state"))
+
+
+def test_cli_check_and_validate(trained, data_root, tmp_path, capsys):
+    from pcmseg_tpu.cli.main import main
+
+    config, save_dir, _ = trained
+    report_path = str(tmp_path / "report.json")
+    rc = main(
+        ["check", "--data_dir", data_root, "--save_dir", save_dir,
+         "--output", report_path]
+    )
+    assert rc == 0
+    report = json.load(open(report_path))
+    assert report["data"]["types"]["BPH"]["present"]
+    assert "latest" in report["checkpoints"]["checkpoints"]
+
+    rc = main(
+        [
+            "validate",
+            "--data_dir", data_root,
+            "--model_path", os.path.join(save_dir, "best"),
+            "--target_size", "16", "16", "16",
+            "--base_features", "4",
+            "--batch_size", "2",
+            "--save_dir", str(tmp_path),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "avg_dice=" in out
+
+
+def test_cli_error_paths(tmp_path, capsys):
+    from pcmseg_tpu.cli.main import main
+
+    # validate with a bogus model path → clean failure (rc 1), not a crash
+    rc = main(
+        [
+            "validate",
+            "--data_dir", str(tmp_path),
+            "--model_path", str(tmp_path / "nope"),
+        ]
+    )
+    assert rc == 1

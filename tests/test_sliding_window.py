@@ -1,0 +1,74 @@
+"""Sliding-window tiled inference tests (pure host logic, no model)."""
+
+import numpy as np
+import pytest
+
+from pcmseg_tpu.infer.sliding_window import (
+    _window_starts,
+    grid_shape,
+    sliding_window_predict,
+)
+
+
+def test_window_starts_cover_and_right_align():
+    assert _window_starts(10, 4, 2) == [0, 2, 4, 6]
+    assert _window_starts(11, 4, 2) == [0, 2, 4, 6, 7]  # right-aligned tail
+    assert _window_starts(4, 4, 2) == [0]
+    assert _window_starts(3, 4, 2) == [0]  # smaller than window
+
+
+def identity_predictor(mean_only=False):
+    def f(x):
+        # x: (1, wd, wh, ww, C) → take channel 0 as "probability"
+        return x[..., :1]
+
+    return f
+
+
+def test_identity_blend_reconstructs_volume():
+    rng = np.random.default_rng(0)
+    img = rng.random((20, 24, 28, 5)).astype(np.float32)
+    out = sliding_window_predict(
+        identity_predictor(), img, window_size=(8, 8, 8), overlap=0.5
+    )
+    assert out.shape == (20, 24, 28, 1)
+    # identity predictions blend to the original channel 0 exactly
+    np.testing.assert_allclose(out[..., 0], img[..., 0], atol=1e-6)
+
+
+def test_small_volume_padded_then_cropped():
+    img = np.ones((5, 6, 7, 2), dtype=np.float32)
+    out = sliding_window_predict(
+        lambda x: x[..., :1], img, window_size=(8, 8, 8), overlap=0.25
+    )
+    assert out.shape == (5, 6, 7, 1)
+    np.testing.assert_allclose(out[..., 0], 1.0)
+
+
+def test_call_count_matches_grid():
+    calls = []
+
+    def counting(x):
+        calls.append(1)
+        return x[..., :1]
+
+    img = np.zeros((16, 16, 16, 1), dtype=np.float32)
+    sliding_window_predict(counting, img, window_size=(8, 8, 8), overlap=0.5)
+    gs = grid_shape((16, 16, 16), (8, 8, 8), 0.5)
+    assert gs == (3, 3, 3)
+    assert len(calls) == 27
+
+
+def test_overlap_validation_and_shape_validation():
+    with pytest.raises(ValueError):
+        sliding_window_predict(lambda x: x, np.zeros((4, 4, 4, 1)), overlap=1.0)
+    with pytest.raises(ValueError):
+        sliding_window_predict(lambda x: x, np.zeros((4, 4, 4)), overlap=0.5)
+
+
+def test_zero_overlap_no_double_counting():
+    img = np.random.default_rng(1).random((16, 16, 16, 1)).astype(np.float32)
+    out = sliding_window_predict(
+        lambda x: x[..., :1], img, window_size=(8, 8, 8), overlap=0.0
+    )
+    np.testing.assert_allclose(out[..., 0], img[..., 0], atol=1e-6)

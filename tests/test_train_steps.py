@@ -1,0 +1,165 @@
+"""Train/eval step tests: convergence on synthetic blobs, LR injection,
+label reconciliation, and 8-device data-parallel sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcmseg_tpu.core.config import get_config
+from pcmseg_tpu.models import UNet3D
+from pcmseg_tpu.train.steps import (
+    align_labels,
+    create_train_state,
+    get_learning_rate,
+    jit_eval_step,
+    jit_train_step,
+    make_eval_step,
+    make_train_step,
+    set_learning_rate,
+)
+
+
+def tiny_config(**kw):
+    kw.setdefault("base_features", 4)
+    kw.setdefault("remat", False)
+    kw.setdefault("compute_dtype", "float32")
+    kw.setdefault("target_size", (16, 16, 16))
+    return get_config("quick", **kw)
+
+
+def blob_batch(key, n=2, size=16, c=5):
+    """Synthetic blob-segmentation task: sphere intensity in channel 0."""
+    kx, kn = jax.random.split(key)
+    coords = jnp.stack(
+        jnp.meshgrid(*[jnp.arange(size)] * 3, indexing="ij"), -1
+    ).astype(jnp.float32)
+    centers = jax.random.uniform(kx, (n, 1, 1, 1, 3), minval=4, maxval=size - 4)
+    dist = jnp.linalg.norm(coords[None] - centers, axis=-1)
+    mask = (dist < size / 3).astype(jnp.float32)[..., None]
+    noise = 0.05 * jax.random.normal(kn, (n, size, size, size, c))
+    image = noise.at[..., 0].add(3.0 * mask[..., 0])
+    return {"image": image, "label": mask}
+
+
+def test_train_step_reduces_loss_on_blobs():
+    config = tiny_config(learning_rate=1e-2)
+    model = UNet3D.from_config(config)
+    state = create_train_state(config, jax.random.key(0), model, (2, 16, 16, 16, 5))
+    step = jit_train_step(make_train_step(model, config), donate=False)
+    batch = blob_batch(jax.random.key(1))
+    losses = []
+    for _ in range(30):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.75, losses[:3] + losses[-3:]
+    assert np.isfinite(losses).all()
+
+
+def test_eval_step_metrics_shapes():
+    config = tiny_config()
+    model = UNet3D.from_config(config)
+    state = create_train_state(config, jax.random.key(0), model, (2, 16, 16, 16, 5))
+    estep = jit_eval_step(make_eval_step(model, config))
+    batch = blob_batch(jax.random.key(2), n=3)
+    m = estep(state, batch)
+    assert m["dice"].shape == (3,) and m["iou"].shape == (3,)
+    assert float(m["loss"]) > 0
+
+
+def test_learning_rate_injection():
+    config = tiny_config()
+    model = UNet3D.from_config(config)
+    state = create_train_state(config, jax.random.key(0), model)
+    assert get_learning_rate(state) == pytest.approx(config.learning_rate)
+    state = set_learning_rate(state, 5e-5)
+    assert get_learning_rate(state) == pytest.approx(5e-5)
+
+
+def test_lr_change_affects_update_magnitude():
+    config = tiny_config()
+    model = UNet3D.from_config(config)
+    batch = blob_batch(jax.random.key(1))
+    step = jit_train_step(make_train_step(model, config), donate=False)
+
+    s0 = create_train_state(config, jax.random.key(0), model, (2, 16, 16, 16, 5))
+    s_hi, _ = step(set_learning_rate(s0, 1e-2), batch)
+    s_lo, _ = step(set_learning_rate(s0, 1e-6), batch)
+
+    d_hi = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).sum()), s_hi.params, s0.params
+        ),
+    )
+    d_lo = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).sum()), s_lo.params, s0.params
+        ),
+    )
+    assert d_hi > 100 * d_lo > 0
+
+
+def test_align_labels_unsqueeze_and_resize():
+    logits = jnp.zeros((2, 16, 16, 16, 1))
+    # missing channel dim
+    labels = jnp.ones((2, 16, 16, 16))
+    assert align_labels(logits, labels).shape == (2, 16, 16, 16, 1)
+    # mismatched spatial dims → nearest resize (train_bph_optimized.py:286-291)
+    labels = jnp.ones((2, 8, 8, 8, 1))
+    out = align_labels(logits, labels)
+    assert out.shape == (2, 16, 16, 16, 1)
+    assert set(np.unique(np.asarray(out)).tolist()) <= {0.0, 1.0}
+
+
+def test_groupnorm_train_step():
+    config = tiny_config(norm_layer="group")
+    model = UNet3D.from_config(config)
+    state = create_train_state(config, jax.random.key(0), model, (2, 16, 16, 16, 5))
+    assert state.batch_stats == {}
+    step = jit_train_step(make_train_step(model, config), donate=False)
+    state, metrics = step(state, blob_batch(jax.random.key(1)))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_data_parallel_8_devices():
+    """Jit the train step over an 8-device mesh; loss must match 1-device."""
+    from pcmseg_tpu.parallel import make_mesh, shard_batch, shard_state
+
+    assert jax.device_count() == 8, "conftest should provide 8 virtual devices"
+    config = tiny_config(batch_size=8)
+    model = UNet3D.from_config(config)
+    state = create_train_state(config, jax.random.key(0), model, (8, 16, 16, 16, 5))
+    batch = blob_batch(jax.random.key(3), n=8)
+    step = jit_train_step(make_train_step(model, config), donate=False)
+
+    # single-device result
+    _, m1 = step(state, batch)
+
+    mesh = make_mesh(data_parallel=8)
+    sharded_state = shard_state(state, mesh)
+    sharded_batch = shard_batch(batch, mesh)
+    new_state, m8 = step(sharded_state, sharded_batch)
+
+    # global-batch loss identical (GSPMD inserts the collectives)
+    assert float(m8["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-4)
+    # params stay replicated and finite
+    leaf = jax.tree.leaves(new_state.params)[0]
+    assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_spatial_sharding_2x4():
+    """2-way DP x 4-way spatial sharding of D: conv halo exchange via GSPMD."""
+    from pcmseg_tpu.parallel import make_mesh, shard_batch, shard_state
+
+    config = tiny_config(batch_size=2)
+    model = UNet3D.from_config(config)
+    state = create_train_state(config, jax.random.key(0), model, (2, 16, 16, 16, 5))
+    batch = blob_batch(jax.random.key(4), n=2)
+    step = jit_train_step(make_train_step(model, config), donate=False)
+    _, m1 = step(state, batch)
+
+    mesh = make_mesh(data_parallel=2, spatial_parallel=4)
+    new_state, m = step(shard_state(state, mesh), shard_batch(batch, mesh))
+    assert float(m["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-4)
