@@ -32,7 +32,11 @@ def main():
         make_train_step,
     )
 
-    batch = int(os.environ.get("BENCH_BATCH", "4"))  # high_performance preset
+    # batch 2 per chip: the 90M-param U-Net's conv-gradient temporaries at
+    # batch 4 x 128^3 need ~25 GB (> the 16 GB v5e HBM); batch 2 fits with
+    # headroom and throughput (volumes/sec) is what the metric measures.
+    # Use BENCH_BATCH=4 on larger-HBM chips.
+    batch = int(os.environ.get("BENCH_BATCH", "2"))
     size = int(os.environ.get("BENCH_SIZE", "128"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
 
@@ -58,15 +62,18 @@ def main():
     )
     batch_data = {"image": image, "label": label}
 
-    # warmup / compile
+    # warmup / compile (scalar fetch = true completion barrier: on tunneled
+    # TPU backends block_until_ready can ack before device completion, so
+    # every timing boundary here is a device-to-host value fetch)
     state, metrics = step(state, batch_data)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = step(state, batch_data)
-    jax.block_until_ready(metrics["loss"])
+    final_loss = float(metrics["loss"])  # depends on the whole step chain
     dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
 
     vols_per_sec = batch * steps / dt
 

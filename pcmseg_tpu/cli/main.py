@@ -70,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--resume", action="store_true",
                     help="resume from the latest checkpoint in save_dir")
     pt.add_argument("--loss", choices=["dice", "bce_dice"], default=None)
+    pt.add_argument("--data_augmentation", action="store_true")
+    pt.add_argument("--interactive", action="store_true",
+                    help="prompt for training mode (reference "
+                         "train_bph_optimized.py:509-522 parity shim)")
 
     # validate
     pv = sub.add_parser("validate", help="evaluate a checkpoint (Dice/IoU)")
@@ -149,7 +153,14 @@ def cmd_check(args) -> int:
 
 
 def cmd_train(args) -> int:
+    if getattr(args, "interactive", False):
+        choice = input(
+            "select training mode: [1] single-split  [2] cross-validation: "
+        ).strip()
+        args.cross_validation = choice == "2"
     config = _config_from_args(args, preset=args.preset)
+    if getattr(args, "data_augmentation", False):
+        config = config.replace(data_augmentation=True)
     if args.cross_validation:
         from pcmseg_tpu.train.cv import CrossValidationTrainer
 

@@ -91,6 +91,12 @@ class Config:
     n_splits: int = 5
     stratified: bool = False  # reserved; reference's flag was decorative
 
+    # data augmentation (wired for real — SURVEY.md §8.11; train split only)
+    data_augmentation: bool = False
+    aug_flip: bool = True
+    aug_rot90: bool = True
+    aug_intensity_jitter: float = 0.1
+
     # ---- model ------------------------------------------------------------
     n_modalities: int = 5
     n_classes: int = 1  # sigmoid binary everywhere (SURVEY.md §8.4)
@@ -204,11 +210,12 @@ PRESETS: Dict[str, Dict[str, Any]] = {
         "patience": 20,
         "save_frequency": 5,
     },
-    # small_dataset: CV with more folds, batch 1
+    # small_dataset: CV with more folds, batch 1, augmentation on
     "small_dataset": {
         "n_splits": 10,
         "batch_size": 1,
         "learning_rate": 1e-4,
+        "data_augmentation": True,
     },
 }
 

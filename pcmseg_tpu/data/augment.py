@@ -1,0 +1,81 @@
+"""Host-side training augmentation for 3D volumes.
+
+The reference declared an AUGMENTATION_CONFIG that nothing consumed
+(SURVEY.md §8.11) and set ``data_augmentation: True`` in its small_dataset
+preset; here the flag is load-bearing. Augmentations are cheap, label-safe
+spatial ops applied per-sample on the host (the cache stores *unaugmented*
+arrays, so augmentation stays fresh every epoch):
+
+  * random flips along each spatial axis (p=0.5 each)
+  * random 90° rotations in the H-W plane
+  * random intensity scale/shift jitter (images only)
+
+All deterministic under a seed (per-epoch, per-sample derived keys).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def augment_sample(
+    image: np.ndarray,
+    label: np.ndarray,
+    rng: np.random.Generator,
+    flip: bool = True,
+    rot90: bool = True,
+    intensity_jitter: float = 0.1,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Augment one ((D,H,W,C), (D,H,W,1)) pair; returns new arrays."""
+    if flip:
+        for ax in range(3):
+            if rng.random() < 0.5:
+                image = np.flip(image, axis=ax)
+                label = np.flip(label, axis=ax)
+    if rot90:
+        k = int(rng.integers(0, 4))
+        if k:
+            image = np.rot90(image, k=k, axes=(1, 2))
+            label = np.rot90(label, k=k, axes=(1, 2))
+    if intensity_jitter > 0:
+        scale = 1.0 + rng.uniform(-intensity_jitter, intensity_jitter)
+        shift = rng.uniform(-intensity_jitter, intensity_jitter) * float(
+            image.std() or 1.0
+        )
+        image = image * scale + shift
+    return (
+        np.ascontiguousarray(image, dtype=np.float32),
+        np.ascontiguousarray(label, dtype=np.float32),
+    )
+
+
+class Augmenter:
+    """Deterministic per-(epoch, index) augmentation policy."""
+
+    def __init__(
+        self,
+        seed: int = 0,
+        flip: bool = True,
+        rot90: bool = True,
+        intensity_jitter: float = 0.1,
+    ):
+        self.seed = seed
+        self.flip = flip
+        self.rot90 = rot90
+        self.intensity_jitter = intensity_jitter
+
+    def __call__(
+        self, sample: Dict[str, np.ndarray], epoch: int, index: int
+    ) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng((self.seed, epoch, index))
+        image, label = augment_sample(
+            sample["image"],
+            sample["label"],
+            rng,
+            flip=self.flip,
+            rot90=self.rot90,
+            intensity_jitter=self.intensity_jitter,
+        )
+        return {**sample, "image": image, "label": label}

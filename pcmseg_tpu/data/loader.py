@@ -54,8 +54,10 @@ class DataLoader:
         num_workers: int = 4,
         drop_last: bool = False,
         seed: int = 0,
+        augmenter=None,
     ):
         self.dataset = dataset
+        self.augmenter = augmenter
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
         self.indices = list(indices) if indices is not None else list(
@@ -96,19 +98,23 @@ class DataLoader:
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
 
+        epoch = self._epoch - 1
+
+        def load_one(i: int) -> dict:
+            sample = self.dataset.load_case(i)
+            if self.augmenter is not None:
+                sample = self.augmenter(sample, epoch, i)
+            return sample
+
         if self.num_workers <= 1:
             for b in batches:
-                yield _collate([self.dataset.load_case(i) for i in b])
+                yield _collate([load_one(i) for i in b])
             return
 
         # overlap decode of batch k+1..k+w with consumption of batch k
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             futures = [
-                pool.submit(
-                    lambda idxs=b: _collate(
-                        [self.dataset.load_case(i) for i in idxs]
-                    )
-                )
+                pool.submit(lambda idxs=b: _collate([load_one(i) for i in idxs]))
                 for b in batches
             ]
             for f in futures:

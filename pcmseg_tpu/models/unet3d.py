@@ -36,6 +36,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from pcmseg_tpu.models.norm import TPUBatchNorm
+
 # Kaiming-normal, fan_out, ReLU gain — matches the reference's
 # nn.init.kaiming_normal_(mode='fan_out', nonlinearity='relu').
 kaiming_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
@@ -64,7 +66,7 @@ class DoubleConv3D(nn.Module):
                 name=f"conv{i}",
             )(x)
             if self.norm_layer == "batch":
-                x = nn.BatchNorm(
+                x = TPUBatchNorm(
                     use_running_average=not train,
                     momentum=0.9,  # torch BN momentum 0.1 ≡ flax 0.9
                     epsilon=1e-5,
@@ -110,7 +112,6 @@ class Down3D(nn.Module):
     group_norm_groups: int = 8
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
-    remat: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -131,7 +132,6 @@ class Up3D(nn.Module):
     group_norm_groups: int = 8
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
-    remat: bool = True
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
@@ -151,12 +151,16 @@ class Up3D(nn.Module):
 
 
 def _double_conv(owner, x, train: bool):
-    """Instantiate the owner's DoubleConv child, optionally rematerialized."""
-    cls = DoubleConv3D
-    if owner.remat:
-        # static_argnums: 0 = self (module), 2 = the `train` bool
-        cls = nn.remat(DoubleConv3D, static_argnums=(2,))
-    return cls(
+    """Instantiate the owner's DoubleConv child.
+
+    Rematerialization happens at the whole-block level (Down3D/Up3D wrapped
+    with nn.remat in UNet3D.__call__) — rematting only the DoubleConv would
+    still save the ConvTranspose outputs and the (huge) concat tensors as
+    backward residuals; block-level remat keeps just block inputs/outputs,
+    which for the decoder's full-resolution blocks is the difference
+    between ~25 GB and fitting a batch of 4 in 16 GB HBM.
+    """
+    return DoubleConv3D(
         features=owner.features,
         norm_layer=owner.norm_layer,
         group_norm_groups=owner.group_norm_groups,
@@ -205,19 +209,27 @@ class UNet3D(nn.Module):
         kw = self._block_kwargs()
         x = x.astype(self.dtype)
 
-        inc_cls = (
-            nn.remat(DoubleConv3D, static_argnums=(2,)) if self.remat else DoubleConv3D
-        )
-        x1 = inc_cls(f, name="inc", **kw)(x, train)
-        x2 = Down3D(f * 2, remat=self.remat, name="down1", **kw)(x1, train)
-        x3 = Down3D(f * 4, remat=self.remat, name="down2", **kw)(x2, train)
-        x4 = Down3D(f * 8, remat=self.remat, name="down3", **kw)(x3, train)
-        x5 = Down3D(f * 16, remat=self.remat, name="down4", **kw)(x4, train)
+        if self.remat:
+            # block-level remat: only block inputs/outputs survive as
+            # backward residuals (skips are block outputs, so they're kept
+            # once); concat/transpose/conv intermediates are recomputed.
+            # static_argnums index counts self as 0.
+            inc_cls = nn.remat(DoubleConv3D, static_argnums=(2,))
+            down_cls = nn.remat(Down3D, static_argnums=(2,))
+            up_cls = nn.remat(Up3D, static_argnums=(3,))
+        else:
+            inc_cls, down_cls, up_cls = DoubleConv3D, Down3D, Up3D
 
-        x = Up3D(f * 8, remat=self.remat, name="up1", **kw)(x5, x4, train)
-        x = Up3D(f * 4, remat=self.remat, name="up2", **kw)(x, x3, train)
-        x = Up3D(f * 2, remat=self.remat, name="up3", **kw)(x, x2, train)
-        x = Up3D(f, remat=self.remat, name="up4", **kw)(x, x1, train)
+        x1 = inc_cls(f, name="inc", **kw)(x, train)
+        x2 = down_cls(f * 2, name="down1", **kw)(x1, train)
+        x3 = down_cls(f * 4, name="down2", **kw)(x2, train)
+        x4 = down_cls(f * 8, name="down3", **kw)(x3, train)
+        x5 = down_cls(f * 16, name="down4", **kw)(x4, train)
+
+        x = up_cls(f * 8, name="up1", **kw)(x5, x4, train)
+        x = up_cls(f * 4, name="up2", **kw)(x, x3, train)
+        x = up_cls(f * 2, name="up3", **kw)(x, x2, train)
+        x = up_cls(f, name="up4", **kw)(x, x1, train)
 
         logits = nn.Conv(
             self.n_classes,

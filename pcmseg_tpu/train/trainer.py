@@ -98,12 +98,23 @@ class Trainer:
         self.train_indices = list(train_indices)
         self.val_indices = list(val_indices) if val_indices is not None else None
 
+        augmenter = None
+        if config.data_augmentation:
+            from pcmseg_tpu.data.augment import Augmenter
+
+            augmenter = Augmenter(
+                seed=config.seed,
+                flip=config.aug_flip,
+                rot90=config.aug_rot90,
+                intensity_jitter=config.aug_intensity_jitter,
+            )
         self.train_loader = DataLoader(
             self.dataset,
             batch_size=config.batch_size,
             shuffle=True,
             indices=self.train_indices,
             seed=config.seed,
+            augmenter=augmenter,
         )
         self.val_loader = (
             DataLoader(

@@ -1,0 +1,70 @@
+"""Augmentation: label-safety, determinism, loader wiring."""
+
+import numpy as np
+
+from pcmseg_tpu.data.augment import Augmenter, augment_sample
+
+
+def _sample(rng, size=8):
+    image = rng.normal(size=(size, size, size, 5)).astype(np.float32)
+    label = (rng.random((size, size, size, 1)) > 0.7).astype(np.float32)
+    return image, label
+
+
+def test_flips_and_rots_keep_label_binary_and_count(rng):
+    image, label = _sample(rng)
+    n_pos = label.sum()
+    out_img, out_lab = augment_sample(
+        image, label, np.random.default_rng(1), intensity_jitter=0.0
+    )
+    assert out_lab.sum() == n_pos  # spatial ops preserve voxel counts
+    assert set(np.unique(out_lab)) <= {0.0, 1.0}
+    assert out_img.shape == image.shape
+
+
+def test_geometry_applied_identically_to_image_and_label(rng):
+    # make label == thresholded channel 0 so alignment is checkable
+    image, _ = _sample(rng)
+    label = (image[..., :1] > 0).astype(np.float32)
+    out_img, out_lab = augment_sample(
+        image, label, np.random.default_rng(3), intensity_jitter=0.0
+    )
+    np.testing.assert_array_equal((out_img[..., :1] > 0).astype(np.float32), out_lab)
+
+
+def test_deterministic_per_epoch_index(rng):
+    image, label = _sample(rng)
+    aug = Augmenter(seed=5)
+    a = aug({"image": image, "label": label, "case_id": "x"}, epoch=2, index=3)
+    b = aug({"image": image, "label": label, "case_id": "x"}, epoch=2, index=3)
+    np.testing.assert_array_equal(a["image"], b["image"])
+    c = aug({"image": image, "label": label, "case_id": "x"}, epoch=3, index=3)
+    assert not np.array_equal(a["image"], c["image"])
+
+
+def test_intensity_jitter_touches_image_not_label(rng):
+    image, label = _sample(rng)
+    out_img, out_lab = augment_sample(
+        image, label, np.random.default_rng(0),
+        flip=False, rot90=False, intensity_jitter=0.5,
+    )
+    assert not np.array_equal(out_img, image)
+    np.testing.assert_array_equal(out_lab, label)
+
+
+def test_loader_applies_augmenter(tmp_path, rng):
+    from pcmseg_tpu.data.dataset import ProstateDataset
+    from pcmseg_tpu.data.loader import DataLoader
+    from pcmseg_tpu.data.synthetic import make_synthetic_dataset
+
+    root = str(tmp_path / "aug_data")
+    make_synthetic_dataset(root, n_cases=2, shape=(12, 12, 12))
+    ds = ProstateDataset(root, target_size=(16, 16, 16))
+    plain = DataLoader(ds, batch_size=2, shuffle=False, num_workers=1)
+    auged = DataLoader(
+        ds, batch_size=2, shuffle=False, num_workers=1, augmenter=Augmenter(seed=1)
+    )
+    b0 = next(iter(plain))
+    b1 = next(iter(auged))
+    assert not np.array_equal(b0["image"], b1["image"])
+    assert b0["image"].shape == b1["image"].shape
