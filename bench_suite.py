@@ -59,12 +59,13 @@ def bench_train_step(batch, size, steps, features=64, tag=""):
             (rng.random((batch, size, size, size, 1)) > 0.9).astype(np.float32)
         ),
     }
+    # value fetch = true completion barrier on the tunneled TPU backend
     state, m = step(state, data)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     t0 = time.perf_counter()
     for _ in range(steps):
         state, m = step(state, data)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     dt = time.perf_counter() - t0
     _line(
         f"train_step{tag} (batch {batch}, {size}^3, base {features})",
@@ -126,7 +127,7 @@ def bench_sliding_window(quick):
     img = np.random.default_rng(0).normal(size=(size, size, size, 5)).astype(
         np.float32
     )
-    # warmup compile on one window
+    # warmup compile on one window (np.asarray = real value fetch)
     np.asarray(predict(np.zeros((1, window, window, window, 5), np.float32)))
     t0 = time.perf_counter()
     out = sliding_window_predict(

@@ -126,6 +126,7 @@ class Config:
     remat: bool = True  # rematerialize DoubleConv blocks
     data_parallel: int = -1  # -1 = all devices on the 'data' mesh axis
     spatial_parallel: int = 1  # shard the D spatial axis ('spatial' mesh axis)
+    tensor_parallel: int = 1  # shard conv output channels ('model' mesh axis)
     donate_state: bool = True
 
     # ---- inference ----------------------------------------------------------

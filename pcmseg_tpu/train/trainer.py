@@ -135,10 +135,14 @@ class Trainer:
             config, jax.random.key(config.seed), self.model, init_shape
         )
         try:
-            self.mesh = make_mesh(config.data_parallel, config.spatial_parallel)
+            self.mesh = make_mesh(
+                config.data_parallel,
+                config.spatial_parallel,
+                config.tensor_parallel,
+            )
         except ValueError:
-            self.log.warning("mesh config infeasible on this host; using 1x1")
-            self.mesh = make_mesh(1, 1)
+            self.log.warning("mesh config infeasible on this host; using 1x1x1")
+            self.mesh = make_mesh(1, 1, 1)
         self.state = shard_state(self.state, self.mesh)
 
         self._train_step = jit_train_step(

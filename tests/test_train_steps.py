@@ -163,3 +163,28 @@ def test_spatial_sharding_2x4():
     mesh = make_mesh(data_parallel=2, spatial_parallel=4)
     new_state, m = step(shard_state(state, mesh), shard_batch(batch, mesh))
     assert float(m["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-4)
+
+
+def test_tensor_parallel_2x2x2():
+    """DP x spatial x TP mesh: channel-sharded params, same global loss."""
+    from pcmseg_tpu.parallel import make_mesh, param_spec, shard_batch, shard_state
+    from jax.sharding import PartitionSpec as P
+
+    # shape-based TP spec rules
+    assert param_spec((3, 3, 3, 8, 8), 2) == P(None, None, None, None, "model")
+    assert param_spec((8,), 2) == P(*([None] * 0 + ["model"]))
+    assert param_spec((3, 3, 3, 5, 1), 2) == P()  # O=1 indivisible
+    assert param_spec((), 2) == P()
+
+    config = tiny_config(batch_size=2)
+    model = UNet3D.from_config(config)
+    state = create_train_state(config, jax.random.key(0), model, (2, 16, 16, 16, 5))
+    batch = blob_batch(jax.random.key(5), n=2)
+    step = jit_train_step(make_train_step(model, config), donate=False)
+    _, m1 = step(state, batch)
+
+    mesh = make_mesh(2, 2, 2)
+    new_state, m = step(shard_state(state, mesh), shard_batch(batch, mesh))
+    assert float(m["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-4)
+    leaf = jax.tree.leaves(new_state.params)[0]
+    assert np.isfinite(np.asarray(leaf)).all()
