@@ -32,20 +32,22 @@ def main():
         make_train_step,
     )
 
-    # batch 2 per chip: the 90M-param U-Net's conv-gradient temporaries at
-    # batch 4 x 128^3 need ~25 GB (> the 16 GB v5e HBM); batch 2 fits with
-    # headroom and throughput (volumes/sec) is what the metric measures.
-    # Use BENCH_BATCH=4 on larger-HBM chips.
-    batch = int(os.environ.get("BENCH_BATCH", "2"))
+    # Measured on one v5e chip (15.75 GB HBM), 128^3 bf16:
+    #   batch 1, remat off : 3.44 vol/s   <- default (best; ref batch is 1)
+    #   batch 2, remat on  : 3.03 vol/s   (remat recompute costs ~13%)
+    #   batch 2, remat off / batch 4 any : OOM (conv-grad col buffers)
+    # Override with BENCH_BATCH / BENCH_REMAT=1 on larger-HBM chips.
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
     size = int(os.environ.get("BENCH_SIZE", "128"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
+    remat = os.environ.get("BENCH_REMAT", "0") == "1" or batch > 1
 
     config = get_config(
-        "high_performance",
+        "standard",
         batch_size=batch,
         target_size=(size, size, size),
         compute_dtype="bfloat16",
-        remat=True,
+        remat=remat,
     )
     model = UNet3D.from_config(config)
     state = create_train_state(
