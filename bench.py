@@ -24,6 +24,9 @@ import numpy as np
 
 
 def main():
+    from pcmseg_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from pcmseg_tpu.core.config import get_config
     from pcmseg_tpu.models import UNet3D
     from pcmseg_tpu.train.steps import (

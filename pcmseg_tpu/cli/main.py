@@ -201,6 +201,9 @@ def cmd_predict(args) -> int:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    from pcmseg_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     handlers = {
         "check": cmd_check,

@@ -21,6 +21,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: the 1-core host takes minutes per model compile;
+# cached reruns of the suite are ~10x faster
+from pcmseg_tpu.core.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
