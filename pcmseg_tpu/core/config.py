@@ -131,6 +131,7 @@ class Config:
 
     # ---- inference ----------------------------------------------------------
     threshold: float = 0.5
+    fold_bn: bool = True  # fold frozen BN into conv weights for serving
     sliding_window: bool = False  # full-volume overlap-tiled inference
     window_size: Tuple[int, int, int] = (128, 128, 128)
     window_overlap: float = 0.5

@@ -102,13 +102,32 @@ class Predictor:
         self.config = config
         self.log = get_logger("pcmseg.predict")
         self.model, self.state = load_model_state(config, checkpoint_path)
-        variables = {"params": self.state.params}
-        if self.state.batch_stats:
-            variables["batch_stats"] = self.state.batch_stats
+
+        if config.fold_bn and config.norm_layer == "batch" and self.state.batch_stats:
+            # serving-graph optimization: conv+BN -> conv (infer/fold_bn.py);
+            # removes every norm op from the compiled predict program
+            from pcmseg_tpu.infer.fold_bn import fold_batchnorm
+
+            folded = fold_batchnorm(self.state.params, self.state.batch_stats)
+            serve_model = UNet3D(
+                n_modalities=config.n_modalities,
+                n_classes=config.n_classes,
+                base_features=config.base_features,
+                norm_layer="none",
+                dtype=self.model.dtype,
+                param_dtype=self.model.param_dtype,
+                remat=False,
+            )
+            variables = {"params": folded}
+        else:
+            serve_model = self.model
+            variables = {"params": self.state.params}
+            if self.state.batch_stats:
+                variables["batch_stats"] = self.state.batch_stats
 
         @jax.jit
         def _predict(x):
-            return self.model.apply(variables, x, method=UNet3D.predict)
+            return serve_model.apply(variables, x, method=UNet3D.predict)
 
         self._predict = _predict
 

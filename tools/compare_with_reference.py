@@ -87,24 +87,25 @@ def main():
 
         ours_mask = (1 / (1 + np.exp(-ours)) > 0.5).astype(np.float32)
         theirs_mask = (1 / (1 + np.exp(-theirs)) > 0.5).astype(np.float32)
-        cross_dice = float(dice_score(jnp.asarray(ours_mask), jnp.asarray(theirs_mask)))
+        mismatch = int((ours_mask != theirs_mask).sum())
         report["cases"].append(
             {
                 "max_abs_logit_diff": float(np.abs(ours - theirs).max()),
                 "mean_abs_logit_diff": float(np.abs(ours - theirs).mean()),
-                "mask_agreement_dice": cross_dice,
-                "mask_voxel_mismatch": int((ours_mask != theirs_mask).sum()),
+                "mask_agreement": 1.0 - mismatch / ours_mask.size,
+                "mask_voxel_mismatch": mismatch,
             }
         )
 
     report["max_abs_logit_diff"] = max(
         c["max_abs_logit_diff"] for c in report["cases"]
     )
-    report["min_mask_agreement_dice"] = min(
-        c["mask_agreement_dice"] for c in report["cases"]
-    )
+    report["min_mask_agreement"] = min(c["mask_agreement"] for c in report["cases"])
     print(json.dumps(report, indent=2))
-    ok = report["min_mask_agreement_dice"] > 0.995
+    ok = (
+        report["min_mask_agreement"] > 0.999
+        and report["max_abs_logit_diff"] < 1e-2
+    )
     print(f"PARITY {'OK' if ok else 'FAIL'}")
     return 0 if ok else 1
 
