@@ -132,6 +132,11 @@ class Config:
     # ---- inference ----------------------------------------------------------
     threshold: float = 0.5
     fold_bn: bool = True  # fold frozen BN into conv weights for serving
+    # Fused Pallas convs for folded serving (TPU only). Off by default: the
+    # kernels beat XLA's conv 1.8-2x standalone at the mid/deep levels, but
+    # inside the full model XLA's cross-op fusion wins (measured 61 vs
+    # 103 ms/vol at 128^3) — see ops/pallas/conv3d.py.
+    pallas_inference: bool = False
     sliding_window: bool = False  # full-volume overlap-tiled inference
     window_size: Tuple[int, int, int] = (128, 128, 128)
     window_overlap: float = 0.5

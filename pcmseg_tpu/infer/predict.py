@@ -108,7 +108,12 @@ class Predictor:
             # removes every norm op from the compiled predict program
             from pcmseg_tpu.infer.fold_bn import fold_batchnorm
 
-            folded = fold_batchnorm(self.state.params, self.state.batch_stats)
+            # fold on host, then device_put ONCE: numpy leaves would either
+            # re-upload per call (as args) or inline 360MB into the compile
+            # payload (as closure constants)
+            folded = jax.device_put(
+                fold_batchnorm(self.state.params, self.state.batch_stats)
+            )
             serve_model = UNet3D(
                 n_modalities=config.n_modalities,
                 n_classes=config.n_classes,
@@ -117,6 +122,11 @@ class Predictor:
                 dtype=self.model.dtype,
                 param_dtype=self.model.param_dtype,
                 remat=False,
+                # fused Pallas conv kernels (TPU only; 1.8-2x on the deep
+                # levels — ops/pallas/conv3d.py)
+                use_pallas=(
+                    config.pallas_inference and jax.default_backend() == "tpu"
+                ),
             )
             variables = {"params": folded}
         else:

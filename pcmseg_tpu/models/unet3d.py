@@ -43,6 +43,36 @@ from pcmseg_tpu.models.norm import TPUBatchNorm
 kaiming_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
+class PallasConv3x3(nn.Module):
+    """Drop-in 3³ conv backed by the fused Pallas kernel (+bias+ReLU).
+
+    Parameter names/shapes are identical to nn.Conv's ('kernel', 'bias'),
+    so BN-folded checkpoints load unchanged. Inference only (no Pallas
+    backward); used on TPU when the norm is folded away.
+    """
+
+    features: int
+    relu: bool = True
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from pcmseg_tpu.ops.pallas.conv3d import conv3x3x3
+
+        ci = x.shape[-1]
+        kernel = self.param(
+            "kernel", kaiming_fan_out, (3, 3, 3, ci, self.features),
+            self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+        )
+        return conv3x3x3(
+            x.astype(self.dtype), kernel.astype(self.dtype), bias, relu=self.relu
+        )
+
+
 class DoubleConv3D(nn.Module):
     """(Conv3d 3³ pad 1 → Norm → ReLU) × 2."""
 
@@ -51,10 +81,28 @@ class DoubleConv3D(nn.Module):
     group_norm_groups: int = 8
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i in range(2):
+            # Pallas fused conv+bias+ReLU on the folded (norm-free) serving
+            # path; Ci must be lane-friendly (the 5-channel input conv and
+            # training fall back to nn.Conv)
+            if (
+                self.use_pallas
+                and self.norm_layer == "none"
+                and not train
+                and x.shape[-1] % 8 == 0
+            ):
+                x = PallasConv3x3(
+                    self.features,
+                    relu=True,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name=f"conv{i}",
+                )(x)
+                continue
             x = nn.Conv(
                 self.features,
                 kernel_size=(3, 3, 3),
@@ -112,6 +160,7 @@ class Down3D(nn.Module):
     group_norm_groups: int = 8
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -132,6 +181,7 @@ class Up3D(nn.Module):
     group_norm_groups: int = 8
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
@@ -166,6 +216,7 @@ def _double_conv(owner, x, train: bool):
         group_norm_groups=owner.group_norm_groups,
         dtype=owner.dtype,
         param_dtype=owner.param_dtype,
+        use_pallas=owner.use_pallas,
         name="double_conv",
     )(x, train)
 
@@ -189,6 +240,7 @@ class UNet3D(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     remat: bool = True
+    use_pallas: bool = False  # fused Pallas convs on the folded serving path
 
     def _block_kwargs(self):
         return dict(
@@ -196,6 +248,7 @@ class UNet3D(nn.Module):
             group_norm_groups=self.group_norm_groups,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            use_pallas=self.use_pallas,
         )
 
     @nn.compact
