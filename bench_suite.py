@@ -43,7 +43,7 @@ def bench_train_step(batch, size, steps, features=64, tag=""):
         base_features=features,
         target_size=(size, size, size),
         compute_dtype="bfloat16",
-        remat=True,
+        remat=batch > 1,  # batch 1 fits without remat (13% faster)
     )
     model = UNet3D.from_config(config)
     state = create_train_state(
@@ -153,7 +153,10 @@ def main():
         bench_train_step(2, 32, 3, features=8, tag="_optcfg")
     else:
         bench_train_step(1, 128, 5, tag="_quickcfg")  # config 1
-        bench_train_step(4, 128, 5, tag="_optcfg")  # config 2
+        # config 2: high_performance asks for batch 4, which needs ~25GB
+        # HBM at 128^3 (BENCH.md); batch 2 + remat is the largest that
+        # fits this chip
+        bench_train_step(2, 128, 5, tag="_optcfg")
     bench_data_pipeline(args.quick)  # config 3
     bench_sliding_window(args.quick)  # config 5
     # config 4 (CV) is fold-loop orchestration over config-2 steps; its

@@ -164,6 +164,35 @@ def get_dataloader(
     )
 
 
+def background_prefetch(iterator, depth: int = 2):
+    """Run any iterator in a producer thread, keeping ``depth`` items ready.
+
+    Used by the trainer to overlap host-side decode + H2D transfer of the
+    next batch with the device computing the current step.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    sentinel = object()
+    err: list = []
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+        except Exception as e:  # noqa: BLE001
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
 def prefetch_to_device(iterator, size: int = 2, sharding=None):
     """Move batches to device ahead of consumption (double buffering).
 

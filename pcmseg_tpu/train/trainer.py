@@ -217,8 +217,13 @@ class Trainer:
             }
 
     def train_epoch(self) -> float:
+        from pcmseg_tpu.data.loader import background_prefetch
+
         losses = []
-        for batch in self._device_batches(self.train_loader):
+        for batch in background_prefetch(
+            self._device_batches(self.train_loader),
+            depth=self.config.prefetch,
+        ):
             n = batch["image"].shape[0]
             self.timer.start()
             self.state, metrics = self._train_step(
