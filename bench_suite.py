@@ -118,11 +118,16 @@ def bench_sliding_window(quick):
         window_size=(window,) * 3, compute_dtype="bfloat16",
     )
     model = UNet3D.from_config(config)
-    v = model.init_variables(jax.random.key(0), (1, 16, 16, 16, 5))
+    v = jax.device_put(model.init_variables(jax.random.key(0), (1, 16, 16, 16, 5)))
 
-    @jax.jit
+    # variables as an explicit arg: closures over params can inline hundreds
+    # of MB into the (tunneled) compile payload
+    _apply = jax.jit(
+        lambda vars_, x: model.apply(vars_, x, method=UNet3D.predict)
+    )
+
     def predict(x):
-        return model.apply(v, x, method=UNet3D.predict)
+        return _apply(v, x)
 
     img = np.random.default_rng(0).normal(size=(size, size, size, 5)).astype(
         np.float32

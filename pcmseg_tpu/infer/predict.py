@@ -135,11 +135,14 @@ class Predictor:
             if self.state.batch_stats:
                 variables["batch_stats"] = self.state.batch_stats
 
-        @jax.jit
-        def _predict(x):
-            return serve_model.apply(variables, x, method=UNet3D.predict)
-
-        self._predict = _predict
+        # variables as explicit args (closures would inline them into the
+        # compile payload); device_put once
+        self._variables = jax.device_put(variables)
+        self._apply = jax.jit(
+            lambda vars_, x: serve_model.apply(vars_, x, method=UNet3D.predict)
+        )
+        self._predict = lambda x: self._apply(self._variables, x)
+        self._sw_fns = {}  # per-volume-shape device sliding-window programs
 
     def predict_probs(self, image: np.ndarray) -> np.ndarray:
         """(D,H,W,C) image → (D,H,W,K) sigmoid probabilities.
@@ -156,12 +159,22 @@ class Predictor:
             s > w for s, w in zip(image.shape[:3], ws)
         )
         if needs_tiling:
-            return sliding_window_predict(
-                self._predict,
-                image,
-                window_size=ws,
-                overlap=self.config.window_overlap,
+            # fully on-device tiling: one jitted program, one D2H transfer
+            from pcmseg_tpu.infer.sliding_window import (
+                make_device_sliding_window,
             )
+
+            key = image.shape
+            if key not in self._sw_fns:
+                self._sw_fns[key] = make_device_sliding_window(
+                    self._apply,
+                    image.shape[:3],
+                    n_channels=image.shape[-1],
+                    n_out=self.config.n_classes,
+                    window_size=ws,
+                    overlap=self.config.window_overlap,
+                )
+            return np.asarray(self._sw_fns[key](self._variables, image))
         return np.asarray(self._predict(image[None]))[0]
 
     def predict_case(

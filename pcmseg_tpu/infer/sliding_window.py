@@ -90,6 +90,74 @@ def sliding_window_predict(
     return out[:d, :h, :w, :]
 
 
+def make_device_sliding_window(
+    apply_fn: Callable,
+    volume_shape: Tuple[int, int, int],
+    n_channels: int,
+    n_out: int,
+    window_size: Sequence[int] = (128, 128, 128),
+    overlap: float = 0.5,
+):
+    """Build a fully on-device tiled predictor: one jit, zero per-tile D2H.
+
+    The host-loop variant transfers every tile's probabilities back for
+    blending — fine locally, but on tunneled TPU backends D2H dominates
+    (measured 12.3 s vs ~0.5 s of compute for a 160³ volume). Here the
+    tile loop is unrolled at trace time (static tile grid), accumulation
+    and count-normalization happen on device, and exactly one array comes
+    back.
+
+    Returns ``run(variables, image) -> (D, H, W, n_out) probabilities``
+    (jitted; image may be smaller than one window — it is padded and the
+    result cropped).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if not 0.0 <= overlap < 1.0:
+        raise ValueError(f"overlap must be in [0, 1), got {overlap}")
+    d, h, w = (int(s) for s in volume_shape)
+    wd, wh, ww = (int(x) for x in window_size)
+    pd, ph, pw = max(d, wd), max(h, wh), max(w, ww)
+
+    strides = [max(1, int(round(x * (1.0 - overlap)))) for x in (wd, wh, ww)]
+    starts = [
+        (z0, y0, x0)
+        for z0 in _window_starts(pd, wd, strides[0])
+        for y0 in _window_starts(ph, wh, strides[1])
+        for x0 in _window_starts(pw, ww, strides[2])
+    ]
+    counts = np.zeros((pd, ph, pw, 1), dtype=np.float32)
+    for z0, y0, x0 in starts:
+        counts[z0 : z0 + wd, y0 : y0 + wh, x0 : x0 + ww, :] += 1.0
+
+    @jax.jit
+    def run(variables, image):
+        if image.shape != (d, h, w, n_channels):
+            raise ValueError(
+                f"expected image {(d, h, w, n_channels)}, got {image.shape}"
+            )
+        padded = jnp.pad(
+            image, ((0, pd - d), (0, ph - h), (0, pw - w), (0, 0))
+        )
+        accum = jnp.zeros((pd, ph, pw, n_out), jnp.float32)
+        for z0, y0, x0 in starts:
+            tile = jax.lax.dynamic_slice(
+                padded, (z0, y0, x0, 0), (wd, wh, ww, n_channels)
+            )
+            probs = apply_fn(variables, tile[None])[0].astype(jnp.float32)
+            window = jax.lax.dynamic_slice(
+                accum, (z0, y0, x0, 0), (wd, wh, ww, n_out)
+            )
+            accum = jax.lax.dynamic_update_slice(
+                accum, window + probs, (z0, y0, x0, 0)
+            )
+        out = accum / jnp.asarray(counts)
+        return out[:d, :h, :w, :]
+
+    return run
+
+
 def grid_shape(
     volume_shape: Tuple[int, int, int],
     window_size: Sequence[int],

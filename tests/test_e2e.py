@@ -220,3 +220,41 @@ def test_cli_error_paths(tmp_path, capsys):
         ]
     )
     assert rc == 1
+
+
+def test_cli_predict_sliding_window(trained, data_root, tmp_path, capsys):
+    """run.py predict --sliding_window over a case larger than the window."""
+    import shutil
+
+    from pcmseg_tpu.cli.main import main
+    from pcmseg_tpu.data.io import read_volume
+
+    config, save_dir, _ = trained
+    case_dir = str(tmp_path / "case003")
+    for m in config.modalities:
+        os.makedirs(os.path.join(case_dir, m))
+        shutil.copy(
+            os.path.join(data_root, "BPH-PCA", "BPH", m, "case003.nii.gz"),
+            os.path.join(case_dir, m, "img.nii.gz"),
+        )
+    rc = main(
+        [
+            "predict",
+            "--model_path", os.path.join(save_dir, "best"),
+            "--input_dir", case_dir,
+            "--output_dir", str(tmp_path / "out"),
+            "--output_name", "sw.nii.gz",
+            "--base_features", "4",
+            "--target_size", "16", "16", "16",
+            "--sliding_window",
+            "--window_size", "16", "16", "16",
+            "--window_overlap", "0.5",
+        ]
+    )
+    assert rc == 0
+    pred = read_volume(str(tmp_path / "out" / "sw.nii.gz"))
+    src = read_volume(
+        os.path.join(data_root, "BPH-PCA", "BPH", "ADC", "case003.nii.gz")
+    )
+    assert pred.shape == src.shape  # 20^3 case tiled by 16^3 windows
+    assert set(np.unique(pred.data)) <= {0, 1}

@@ -72,3 +72,36 @@ def test_zero_overlap_no_double_counting():
         lambda x: x[..., :1], img, window_size=(8, 8, 8), overlap=0.0
     )
     np.testing.assert_allclose(out[..., 0], img[..., 0], atol=1e-6)
+
+
+def test_device_sliding_window_matches_host(rng):
+    """On-device tiled predictor == host-loop blending (identity model)."""
+    from pcmseg_tpu.infer.sliding_window import make_device_sliding_window
+
+    img = rng.random((20, 24, 28, 5)).astype(np.float32)
+
+    def apply_fn(variables, x):  # identity "model": channel 0 as prob
+        return x[..., :1]
+
+    run = make_device_sliding_window(
+        apply_fn, img.shape[:3], n_channels=5, n_out=1,
+        window_size=(8, 8, 8), overlap=0.5,
+    )
+    got = np.asarray(run({}, img))
+    want = sliding_window_predict(
+        lambda x: x[..., :1], img, window_size=(8, 8, 8), overlap=0.5
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_device_sliding_window_small_volume(rng):
+    from pcmseg_tpu.infer.sliding_window import make_device_sliding_window
+
+    img = rng.random((5, 6, 7, 2)).astype(np.float32)
+    run = make_device_sliding_window(
+        lambda v, x: x[..., :1], img.shape[:3], 2, 1,
+        window_size=(8, 8, 8), overlap=0.25,
+    )
+    out = np.asarray(run({}, img))
+    assert out.shape == (5, 6, 7, 1)
+    np.testing.assert_allclose(out[..., 0], img[..., 0], atol=1e-6)
