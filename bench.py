@@ -36,18 +36,24 @@ def main():
     )
 
     # Measured on one v5e chip (15.75 GB HBM), 128^3 bf16:
-    #   batch 1, remat off : 3.44 vol/s   <- default (best; ref batch is 1)
-    #   batch 2, remat on  : 3.03 vol/s   (remat recompute costs ~13%)
-    #   batch 2, remat off / batch 4 any : OOM (conv-grad col buffers)
-    # Override with BENCH_BATCH / BENCH_REMAT=1 on larger-HBM chips.
-    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    #   batch 4 via 4x grad accumulation : 3.55 vol/s  <- default (the
+    #     reference's high_performance batch-4 semantics; microbatches run
+    #     remat-free and the scan amortizes the optimizer update)
+    #   batch 1, remat off               : 3.44 vol/s
+    #   batch 2, remat on                : 3.03 vol/s
+    #   batch 2 monolithic no-remat / batch 4 monolithic: OOM (~25 GB
+    #     conv-gradient col buffers)
+    # Override with BENCH_BATCH / BENCH_ACCUM / BENCH_REMAT=1.
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
     size = int(os.environ.get("BENCH_SIZE", "128"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
-    remat = os.environ.get("BENCH_REMAT", "0") == "1" or batch > 1
+    accum = int(os.environ.get("BENCH_ACCUM", "4"))  # grad accumulation
+    remat = os.environ.get("BENCH_REMAT", "0") == "1" or batch // accum > 1
 
     config = get_config(
         "standard",
         batch_size=batch,
+        accum_steps=accum,
         target_size=(size, size, size),
         compute_dtype="bfloat16",
         remat=remat,

@@ -62,6 +62,11 @@ class Config:
     # ---- training ---------------------------------------------------------
     num_epochs: int = 100
     batch_size: int = 1
+    # gradient accumulation: batch_size must be divisible by accum_steps;
+    # each step scans accum_steps microbatches of batch_size/accum_steps,
+    # averaging gradients before one optimizer update. Lets the
+    # high_performance batch-4 config run within 16 GB HBM (BENCH.md).
+    accum_steps: int = 1
     learning_rate: float = 1e-4
     validation: bool = True
     val_fraction: float = 0.2

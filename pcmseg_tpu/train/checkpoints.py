@@ -205,6 +205,80 @@ def batch_stats_from_torch_state_dict(state_dict, batch_stats) -> Any:
     return bs
 
 
+def params_to_torch_state_dict(params, batch_stats=None) -> dict:
+    """Export our params (+BN stats) as a reference-layout torch state_dict.
+
+    Inverse of :func:`params_from_torch_state_dict`, so reference-pipeline
+    tooling (script/validate_model.py:174-180-style loaders) can consume
+    checkpoints trained here. Returns {name: torch.Tensor}.
+    """
+    import torch
+
+    p = _to_mutable(jax.device_get(params))
+    bs = _to_mutable(jax.device_get(batch_stats)) if batch_stats else {}
+    sd = {}
+
+    def t(arr):
+        return torch.from_numpy(np.ascontiguousarray(np.asarray(arr)))
+
+    def conv_out(kernel):
+        # flax (kD,kH,kW,I,O) → torch (O,I,kD,kH,kW)
+        return t(np.transpose(np.asarray(kernel), (4, 3, 0, 1, 2)))
+
+    def convT_out(kernel):
+        # undo the import-side spatial flip, then (kD,kH,kW,I,O)→(I,O,...)
+        a = np.asarray(kernel)[::-1, ::-1, ::-1]
+        return t(np.transpose(a, (3, 4, 0, 1, 2)))
+
+    def dc_out(prefix, ours, stats):
+        for ti, (cname, nname) in ((0, ("conv0", "norm0")), (3, ("conv1", "norm1"))):
+            sd[f"{prefix}.{ti}.weight"] = conv_out(ours[cname]["kernel"])
+            sd[f"{prefix}.{ti}.bias"] = t(ours[cname]["bias"])
+            if nname in ours:  # absent on BN-folded params
+                sd[f"{prefix}.{ti + 1}.weight"] = t(ours[nname]["scale"])
+                sd[f"{prefix}.{ti + 1}.bias"] = t(ours[nname]["bias"])
+                if stats and nname in stats:
+                    sd[f"{prefix}.{ti + 1}.running_mean"] = t(stats[nname]["mean"])
+                    sd[f"{prefix}.{ti + 1}.running_var"] = t(stats[nname]["var"])
+                    sd[f"{prefix}.{ti + 1}.num_batches_tracked"] = torch.zeros(
+                        (), dtype=torch.int64
+                    )
+
+    dc_out("inc.conv", p["inc"], bs.get("inc"))
+    for i in range(1, 5):
+        dc_out(
+            f"down{i}.maxpool_conv.1.conv",
+            p[f"down{i}"]["double_conv"],
+            (bs.get(f"down{i}") or {}).get("double_conv"),
+        )
+    for i in range(1, 5):
+        sd[f"up{i}.up.weight"] = convT_out(p[f"up{i}"]["up"]["kernel"])
+        sd[f"up{i}.up.bias"] = t(p[f"up{i}"]["up"]["bias"])
+        dc_out(
+            f"up{i}.conv.conv",
+            p[f"up{i}"]["double_conv"],
+            (bs.get(f"up{i}") or {}).get("double_conv"),
+        )
+    sd["outc.weight"] = conv_out(p["outc"]["kernel"])
+    sd["outc.bias"] = t(p["outc"]["bias"])
+    return sd
+
+
+def export_torch_checkpoint(path: str, state, meta: Optional[dict] = None) -> str:
+    """Write a reference-compatible .pth ({'model_state_dict': ...} + meta)."""
+    import torch
+
+    payload = {
+        "model_state_dict": params_to_torch_state_dict(
+            state.params, state.batch_stats
+        ),
+    }
+    if meta:
+        payload.update(_jsonable(meta))
+    torch.save(payload, path)
+    return path
+
+
 def _to_mutable(tree):
     if isinstance(tree, dict):
         return {k: _to_mutable(v) for k, v in tree.items()}

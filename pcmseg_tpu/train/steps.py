@@ -145,28 +145,64 @@ def make_train_step(
         dice_weight=config.dice_weight,
     )
     has_bn = model.norm_layer == "batch"
+    accum = max(1, int(getattr(config, "accum_steps", 1)))
+
+    def loss_of(params, batch_stats, images, labels):
+        variables = {"params": params}
+        if has_bn:
+            variables["batch_stats"] = batch_stats
+            logits, mut = model.apply(
+                variables, images, train=True, mutable=["batch_stats"]
+            )
+            new_stats = mut["batch_stats"]
+        else:
+            logits = model.apply(variables, images, train=True)
+            new_stats = batch_stats
+        loss = loss_fn(logits, align_labels(logits, labels))
+        return loss, new_stats
+
+    grad_fn = jax.value_and_grad(loss_of, has_aux=True)
 
     def train_step(state: TrainState, batch):
         images = batch["image"]
-        labels = batch["label"]
-
-        def loss_of(params):
-            variables = {"params": params}
-            if has_bn:
-                variables["batch_stats"] = state.batch_stats
-                logits, mut = state.apply_fn(
-                    variables, images, train=True, mutable=["batch_stats"]
-                )
-                new_stats = mut["batch_stats"]
-            else:
-                logits = state.apply_fn(variables, images, train=True)
-                new_stats = state.batch_stats
-            loss = loss_fn(logits, align_labels(logits, labels))
-            return loss, new_stats
-
-        (loss, new_stats), grads = jax.value_and_grad(loss_of, has_aux=True)(
-            state.params
+        labels = align_labels(
+            jnp.zeros(images.shape[:-1] + (1,), images.dtype), batch["label"]
         )
+
+        if accum == 1:
+            (loss, new_stats), grads = grad_fn(
+                state.params, state.batch_stats, images, labels
+            )
+        else:
+            # gradient accumulation: lax.scan over microbatches — one
+            # microbatch's activations live at a time; grads averaged
+            # before the single optimizer update. Note Dice is a global
+            # (nonlinear) reduction, so the accumulated loss is the mean
+            # of per-microbatch losses (same semantics as torch grad
+            # accumulation), not the joint full-batch Dice.
+            if images.shape[0] % accum:
+                raise ValueError(
+                    f"batch size {images.shape[0]} not divisible by "
+                    f"accum_steps={accum}"
+                )
+            micro = images.shape[0] // accum
+            img_m = images.reshape(accum, micro, *images.shape[1:])
+            lab_m = labels.reshape(accum, micro, *labels.shape[1:])
+
+            def body(carry, xs):
+                stats, grad_acc, loss_acc = carry
+                img, lab = xs
+                (l, new_stats), g = grad_fn(state.params, stats, img, lab)
+                grad_acc = jax.tree.map(jnp.add, grad_acc, g)
+                return (new_stats, grad_acc, loss_acc + l), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (new_stats, grads, loss_sum), _ = jax.lax.scan(
+                body, (state.batch_stats, zero_grads, 0.0), (img_m, lab_m)
+            )
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            loss = loss_sum / accum
+
         new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
         metrics = {
             "loss": loss,

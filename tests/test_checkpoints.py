@@ -95,3 +95,49 @@ def test_torch_state_dict_conversion_full_model():
     # conv accumulation order differs between XLA and torch; 2e-3 on logits
     # still catches any layout/mapping mistake (those err at O(1))
     np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-3, rtol=1e-2)
+
+
+def test_torch_export_import_roundtrip():
+    """params → torch state_dict → params is the identity."""
+    pytest.importorskip("torch")
+    from pcmseg_tpu.train.checkpoints import (
+        batch_stats_from_torch_state_dict,
+        params_from_torch_state_dict,
+        params_to_torch_state_dict,
+    )
+
+    config = tiny_config()
+    model = UNet3D.from_config(config)
+    state = create_train_state(config, jax.random.key(3), model)
+
+    sd = params_to_torch_state_dict(state.params, state.batch_stats)
+    assert "inc.conv.0.weight" in sd and "up4.up.weight" in sd
+    back = params_from_torch_state_dict(sd, state.params)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    stats_back = batch_stats_from_torch_state_dict(sd, state.batch_stats)
+    for a, b in zip(
+        jax.tree.leaves(state.batch_stats), jax.tree.leaves(stats_back)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_export_torch_checkpoint_loadable_by_validator(tmp_path):
+    """Exported .pth loads back through the torch-checkpoint path."""
+    torch = pytest.importorskip("torch")
+    from pcmseg_tpu.infer.validate import load_model_state
+    from pcmseg_tpu.train.checkpoints import export_torch_checkpoint
+
+    config = tiny_config()
+    model = UNet3D.from_config(config)
+    state = create_train_state(config, jax.random.key(4), model)
+    path = str(tmp_path / "export.pth")
+    export_torch_checkpoint(path, state, {"epoch": 3})
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    assert payload["epoch"] == 3
+    _, restored = load_model_state(config, path)
+    for a, b in zip(
+        jax.tree.leaves(state.params), jax.tree.leaves(restored.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)

@@ -188,3 +188,56 @@ def test_tensor_parallel_2x2x2():
     assert float(m["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-4)
     leaf = jax.tree.leaves(new_state.params)[0]
     assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_gradient_accumulation_matches_full_batch():
+    """accum_steps=2 over batch 4 ≈ one step over the same batch (BN-free).
+
+    With GroupNorm (batch-independent) and the mean-of-microbatch-losses
+    semantics, gradients differ from joint full-batch Dice only through the
+    loss nonlinearity — on identical duplicated microbatches they must
+    match exactly.
+    """
+    config = tiny_config(norm_layer="group", batch_size=4)
+    model = UNet3D.from_config(config)
+    state = create_train_state(config, jax.random.key(0), model, (4, 16, 16, 16, 5))
+
+    half = blob_batch(jax.random.key(7), n=2)
+    batch = {
+        "image": jnp.concatenate([half["image"], half["image"]]),
+        "label": jnp.concatenate([half["label"], half["label"]]),
+    }
+
+    step1 = jit_train_step(make_train_step(model, config), donate=False)
+    s1, m1 = step1(state, batch)
+
+    config2 = config.replace(accum_steps=2)
+    step2 = jit_train_step(make_train_step(model, config2), donate=False)
+    s2, m2 = step2(state, batch)
+
+    # near-identical: the Dice smooth constant doesn't scale with batch
+    # size, so joint-batch Dice differs from mean-of-microbatch Dice by
+    # O(smooth/voxels) even on duplicated data (same as torch grad accum)
+    assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-3)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+    # exact semantic: accumulated loss == the (identical) microbatch loss
+    state_half = create_train_state(
+        config.replace(batch_size=2), jax.random.key(0), model,
+        (2, 16, 16, 16, 5),
+    )
+    step_half = jit_train_step(
+        make_train_step(model, config.replace(batch_size=2)), donate=False
+    )
+    _, m_half = step_half(state_half, half)
+    assert float(m2["loss"]) == pytest.approx(float(m_half["loss"]), rel=1e-5)
+
+
+def test_gradient_accumulation_divisibility_check():
+    config = tiny_config(accum_steps=3, batch_size=4)
+    model = UNet3D.from_config(config)
+    state = create_train_state(config, jax.random.key(0), model, (4, 16, 16, 16, 5))
+    step = make_train_step(model, config)
+    with pytest.raises(ValueError):
+        step(state, blob_batch(jax.random.key(1), n=4))
