@@ -220,9 +220,11 @@ class Trainer:
         from pcmseg_tpu.data.loader import background_prefetch
 
         losses = []
-        for batch in background_prefetch(
-            self._device_batches(self.train_loader),
-            depth=self.config.prefetch,
+        for step_idx, batch in enumerate(
+            background_prefetch(
+                self._device_batches(self.train_loader),
+                depth=self.config.prefetch,
+            )
         ):
             n = batch["image"].shape[0]
             self.timer.start()
@@ -237,6 +239,20 @@ class Trainer:
                     f"{int(self.state.step)} — aborting instead of training on"
                 )
             losses.append(loss)
+            # per-batch logging cadence (reference BASE_CONFIG's
+            # log_frequency/print_frequency, config_example.py:48-50)
+            if self.config.log_frequency and (
+                step_idx % max(self.config.log_frequency, 1) == 0
+            ):
+                self.log.debug("batch %d: loss %.4f", step_idx, loss)
+            if self.config.print_frequency and (
+                (step_idx + 1) % max(self.config.print_frequency, 1) == 0
+            ):
+                self.log.info(
+                    "batch %d/%d: loss %.4f (%.2f vol/s)",
+                    step_idx + 1, len(self.train_loader), loss,
+                    self.timer.items_per_sec,
+                )
         return float(np.mean(losses)) if losses else float("nan")
 
     def validate_epoch(self) -> Dict[str, float]:
