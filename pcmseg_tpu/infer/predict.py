@@ -21,7 +21,6 @@ Capability parity with the reference's ModelPredictor + load_multimodal_images
 from __future__ import annotations
 
 import os
-from functools import partial
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
@@ -31,7 +30,6 @@ from pcmseg_tpu.core.config import Config, DEFAULT_MODALITIES
 from pcmseg_tpu.data.io import ALL_EXTS, read_volume, write_volume
 from pcmseg_tpu.data.resample import normalize_intensity, resample_array
 from pcmseg_tpu.data.volume import Volume
-from pcmseg_tpu.infer.sliding_window import sliding_window_predict
 from pcmseg_tpu.infer.validate import load_model_state
 from pcmseg_tpu.models import UNet3D
 from pcmseg_tpu.utils.logging import get_logger
