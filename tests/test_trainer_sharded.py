@@ -1,0 +1,65 @@
+"""Trainer end-to-end on multi-device meshes (virtual CPU devices)."""
+
+import numpy as np
+import pytest
+
+from pcmseg_tpu.core.config import get_config
+from pcmseg_tpu.data.synthetic import make_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("shard_data"))
+    make_synthetic_dataset(root, n_cases=6, shape=(12, 12, 12), seed=11)
+    return root
+
+
+def _cfg(root, save_dir, **kw):
+    return get_config(
+        "quick",
+        data_dir=root,
+        save_dir=save_dir,
+        base_features=4,
+        remat=False,
+        compute_dtype="float32",
+        target_size=(16, 16, 16),
+        batch_size=2,
+        num_epochs=1,
+        validation=False,
+        early_stopping=False,
+        **kw,
+    )
+
+
+def test_trainer_data_parallel_mesh(data_root, tmp_path):
+    from pcmseg_tpu.train.trainer import Trainer
+
+    t = Trainer(_cfg(data_root, str(tmp_path / "dp"), data_parallel=2))
+    assert dict(t.mesh.shape) == {"data": 2, "spatial": 1, "model": 1}
+    h = t.train()
+    assert np.isfinite(h["train_loss"]).all()
+
+
+def test_trainer_spatial_and_tensor_mesh(data_root, tmp_path):
+    from pcmseg_tpu.train.trainer import Trainer
+
+    t = Trainer(
+        _cfg(
+            data_root,
+            str(tmp_path / "sp"),
+            data_parallel=2,
+            spatial_parallel=2,
+            tensor_parallel=2,
+        )
+    )
+    assert dict(t.mesh.shape) == {"data": 2, "spatial": 2, "model": 2}
+    h = t.train()
+    assert np.isfinite(h["train_loss"]).all()
+
+
+def test_trainer_infeasible_mesh_falls_back(data_root, tmp_path):
+    from pcmseg_tpu.train.trainer import Trainer
+
+    # 9-way DP on 8 devices → warn + 1x1x1 fallback
+    t = Trainer(_cfg(data_root, str(tmp_path / "fb"), data_parallel=9))
+    assert dict(t.mesh.shape) == {"data": 1, "spatial": 1, "model": 1}
