@@ -219,7 +219,9 @@ def params_to_torch_state_dict(params, batch_stats=None) -> dict:
     sd = {}
 
     def t(arr):
-        return torch.from_numpy(np.ascontiguousarray(np.asarray(arr)))
+        # .copy(): jax.device_get can hand back non-writable views, which
+        # torch.from_numpy warns about
+        return torch.from_numpy(np.ascontiguousarray(np.asarray(arr)).copy())
 
     def conv_out(kernel):
         # flax (kD,kH,kW,I,O) → torch (O,I,kD,kH,kW)
