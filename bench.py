@@ -96,7 +96,7 @@ def main():
         with open(baseline_path) as f:
             baseline = json.load(f)
         ref = baseline.get("torch_cpu_volumes_per_sec")
-        if ref:
+        if ref is not None and ref > 0:
             vs_baseline = vols_per_sec / ref
 
     print(
@@ -106,7 +106,9 @@ def main():
                           f"(5-mod {size}^3 3D U-Net fwd+bwd, batch {batch})",
                 "value": round(vols_per_sec, 4),
                 "unit": "volumes/sec/chip",
-                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                "vs_baseline": (
+                    round(vs_baseline, 2) if vs_baseline is not None else None
+                ),
             }
         )
     )

@@ -11,8 +11,10 @@ exactly like the reference's ``indices`` kwarg (data_loader.py:452-455).
 
 from __future__ import annotations
 
+import itertools
 import queue
 import threading
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, List, Optional, Sequence
 
@@ -111,13 +113,27 @@ class DataLoader:
                 yield _collate([load_one(i) for i in b])
             return
 
-        # overlap decode of batch k+1..k+w with consumption of batch k
+        # overlap decode of the next few batches with consumption of the
+        # current one — bounded window so at most `window` batches are
+        # resident ahead of the consumer (submitting the whole epoch up
+        # front would decode every volume into host memory at once)
+        window = self.num_workers + 1
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            futures = [
-                pool.submit(lambda idxs=b: _collate([load_one(i) for i in idxs]))
-                for b in batches
-            ]
-            for f in futures:
+            pending = deque()
+            it = iter(batches)
+            for b in itertools.islice(it, window):
+                pending.append(
+                    pool.submit(lambda idxs=b: _collate([load_one(i) for i in idxs]))
+                )
+            while pending:
+                f = pending.popleft()
+                nxt = next(it, None)
+                if nxt is not None:
+                    pending.append(
+                        pool.submit(
+                            lambda idxs=nxt: _collate([load_one(i) for i in idxs])
+                        )
+                    )
                 yield f.result()
 
 

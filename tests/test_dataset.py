@@ -168,3 +168,27 @@ def test_prefetch_to_device(data_root):
     assert len(got) == 3
     assert isinstance(got[0]["image"], jax.Array)
     assert got[0]["case_id"] == ["case000", "case001"]
+
+
+def test_loader_prefetch_window_is_bounded(data_root):
+    """The thread pool must not decode the whole epoch ahead of the consumer."""
+    import time
+
+    ds = ProstateDataset(data_root, target_size=TARGET)
+    loads = []
+    orig = ds.load_case
+
+    def tracking_load(i):
+        loads.append(i)
+        return orig(i)
+
+    ds.load_case = tracking_load
+    loader = DataLoader(ds, batch_size=1, shuffle=False, num_workers=2)
+    it = iter(loader)
+    next(it)  # consume one batch, then give workers a moment
+    time.sleep(0.3)
+    # window = num_workers+1 = 3 batches in flight + the consumed one;
+    # with 5 cases, decoding all of them would mean an unbounded window
+    assert len(loads) <= 4, loads
+    rest = list(it)
+    assert len(rest) == 4  # the remaining batches still arrive
