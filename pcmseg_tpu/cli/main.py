@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--interactive", action="store_true",
                     help="prompt for training mode (reference "
                          "train_bph_optimized.py:509-522 parity shim)")
+    pt.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the first few "
+                         "training steps into DIR")
+    pt.add_argument("--profile_steps", type=int, default=None)
 
     # validate
     pv = sub.add_parser("validate", help="evaluate a checkpoint (Dice/IoU)")
@@ -93,12 +97,19 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--sliding_window", action="store_true")
     pp.add_argument("--window_size", type=int, nargs=3, default=None)
     pp.add_argument("--window_overlap", type=float, default=None)
+    pp.add_argument("--window_blend", choices=["gaussian", "uniform"],
+                    default=None)
 
     return parser
 
 
-def _config_from_args(args, preset: str = "standard") -> Config:
-    """Build a Config from preset + the non-None CLI overrides."""
+def _config_from_args(args, preset: str = "standard", with_explicit: bool = False):
+    """Build a Config from preset + the non-None CLI overrides.
+
+    With ``with_explicit`` returns ``(config, explicit_keys)`` where
+    ``explicit_keys`` are the Config fields the user actually set — these
+    win over a checkpoint's meta.json snapshot in validate/predict.
+    """
     mapping = {
         "data_dir": "data_dir",
         "data_type": "data_type",
@@ -116,6 +127,9 @@ def _config_from_args(args, preset: str = "standard") -> Config:
         "loss": "loss",
         "threshold": "threshold",
         "window_overlap": "window_overlap",
+        "window_blend": "window_blend",
+        "profile": "profile_dir",
+        "profile_steps": "profile_steps",
     }
     overrides = {}
     for arg_name, cfg_name in mapping.items():
@@ -132,7 +146,10 @@ def _config_from_args(args, preset: str = "standard") -> Config:
         overrides["resume"] = True
     if getattr(args, "sliding_window", False):
         overrides["sliding_window"] = True
-    return get_config(preset, **overrides)
+    config = get_config(preset, **overrides)
+    if with_explicit:
+        return config, frozenset(overrides)
+    return config
 
 
 def cmd_check(args) -> int:
@@ -175,8 +192,8 @@ def cmd_train(args) -> int:
 def cmd_validate(args) -> int:
     from pcmseg_tpu.infer.validate import Validator
 
-    config = _config_from_args(args)
-    results = Validator(config, args.model_path).validate()
+    config, explicit = _config_from_args(args, with_explicit=True)
+    results = Validator(config, args.model_path, explicit=explicit).validate()
     print(
         f"avg_dice={results['avg_dice']:.4f} avg_iou={results['avg_iou']:.4f} "
         f"({results['case_count']} cases)"
@@ -189,8 +206,8 @@ def cmd_predict(args) -> int:
 
     from pcmseg_tpu.infer.predict import Predictor
 
-    config = _config_from_args(args)
-    predictor = Predictor(config, args.model_path)
+    config, explicit = _config_from_args(args, with_explicit=True)
+    predictor = Predictor(config, args.model_path, explicit=explicit)
     out = predictor.predict_and_save(
         args.input_dir,
         os.path.join(args.output_dir, args.output_name),
@@ -201,6 +218,17 @@ def cmd_predict(args) -> int:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    import os
+
+    # escape hatch for hosts whose sitecustomize pins the TPU platform:
+    # PCMSEG_PLATFORM=cpu forces a platform before any jax op (plain
+    # JAX_PLATFORMS is consumed too early to override such hooks)
+    platform = os.environ.get("PCMSEG_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
     from pcmseg_tpu.core.cache import enable_compilation_cache
 
     enable_compilation_cache()

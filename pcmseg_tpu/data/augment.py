@@ -36,6 +36,10 @@ def augment_sample(
                 label = np.flip(label, axis=ax)
     if rot90:
         k = int(rng.integers(0, 4))
+        if image.shape[1] != image.shape[2]:
+            # odd k swaps the H/W extents, yielding per-sample ragged shapes
+            # that break batch collation; non-square targets only get 180°
+            k -= k % 2
         if k:
             image = np.rot90(image, k=k, axes=(1, 2))
             label = np.rot90(label, k=k, axes=(1, 2))

@@ -96,7 +96,15 @@ def load_multimodal_images(
 class Predictor:
     """Loads a checkpoint once; predicts cases / arrays / directories."""
 
-    def __init__(self, config: Config, checkpoint_path: str):
+    def __init__(
+        self,
+        config: Config,
+        checkpoint_path: str,
+        explicit: Sequence[str] = (),
+    ):
+        from pcmseg_tpu.infer.validate import adopt_checkpoint_config
+
+        config = adopt_checkpoint_config(config, checkpoint_path, explicit)
         self.config = config
         self.log = get_logger("pcmseg.predict")
         self.model, self.state = load_model_state(config, checkpoint_path)
@@ -171,6 +179,7 @@ class Predictor:
                     n_out=self.config.n_classes,
                     window_size=ws,
                     overlap=self.config.window_overlap,
+                    blend=self.config.window_blend,
                 )
             return np.asarray(self._sw_fns[key](self._variables, image))
         return np.asarray(self._predict(image[None]))[0]

@@ -28,6 +28,73 @@ from pcmseg_tpu.utils.artifacts import write_json
 from pcmseg_tpu.utils.logging import get_logger
 
 
+# fields that must match the checkpoint being loaded: architecture keys
+# determine the param-tree structure (a mismatch fails deep inside Orbax
+# with an opaque structure error); preprocessing keys determine the input
+# distribution the weights were trained on.
+_ARCH_KEYS = (
+    "n_modalities",
+    "n_classes",
+    "base_features",
+    "norm_layer",
+    "group_norm_groups",
+    "modalities",
+)
+_PREP_KEYS = ("normalize", "norm_percentiles", "target_size")
+
+
+def adopt_checkpoint_config(
+    config: Config, checkpoint_path: str, explicit: Sequence[str] = ()
+) -> Config:
+    """Reconcile a Config with the checkpoint about to be loaded.
+
+    Orbax checkpoints carry the training config snapshot in ``meta.json``;
+    adopt its architecture + preprocessing fields so a checkpoint trained
+    with non-default ``base_features``/``norm_layer``/``normalize`` loads
+    without the user re-specifying every flag. Keys named in ``explicit``
+    (e.g. flags the user actually passed) win over the snapshot.
+
+    For torch ``.pth`` checkpoints (reference-trained: NO normalization at
+    train time, min-max at the reference's own predict time —
+    script/predict.py:72-75) default ``normalize`` to ``minmax`` so serving
+    matches the reference's inference distribution.
+    """
+    log = get_logger("pcmseg.validate")
+    explicit_set = set(explicit)
+    if checkpoint_path.endswith((".pth", ".pt")):
+        if "normalize" not in explicit_set and config.normalize != "minmax":
+            log.info(
+                "torch checkpoint: defaulting normalize=%r -> 'minmax' to "
+                "match the reference's own inference (pass --normalize to "
+                "override)",
+                config.normalize,
+            )
+            config = config.replace(normalize="minmax")
+        return config
+
+    meta_file = os.path.join(checkpoint_path, "meta.json")
+    if not os.path.exists(meta_file):
+        return config
+    import json
+
+    with open(meta_file) as f:
+        snap = json.load(f).get("config") or {}
+    updates = {}
+    for k in _ARCH_KEYS + _PREP_KEYS:
+        if k not in snap or k in explicit_set:
+            continue
+        v = snap[k]
+        cur = getattr(config, k)
+        if isinstance(cur, tuple):
+            v = tuple(v)
+        if v != cur:
+            updates[k] = v
+    if updates:
+        log.info("adopting checkpoint config fields: %s", sorted(updates))
+        config = config.replace(**updates)
+    return config
+
+
 def load_model_state(config: Config, checkpoint_path: str):
     """Build a state and load weights from an Orbax dir or a torch .pth."""
     model = UNet3D.from_config(config)
@@ -65,7 +132,9 @@ class Validator:
         checkpoint_path: str,
         dataset: Optional[ProstateDataset] = None,
         indices: Optional[Sequence[int]] = None,
+        explicit: Sequence[str] = (),
     ):
+        config = adopt_checkpoint_config(config, checkpoint_path, explicit)
         self.config = config
         self.log = get_logger("pcmseg.validate")
         self.dataset = dataset or ProstateDataset(

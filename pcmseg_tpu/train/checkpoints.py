@@ -17,6 +17,7 @@ Naming mirrors the reference artifacts: ``latest`` (utils/trainer.py:255),
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import shutil
@@ -25,6 +26,10 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
+
+# monotonic per-process save counter; processes call save in lockstep, so
+# the sequence — and thus the payload directory name — matches across hosts
+_SAVE_SEQ = itertools.count()
 
 
 def _as_abspath(path: str) -> str:
@@ -37,14 +42,36 @@ def save_checkpoint(
     state,
     meta: Optional[Dict[str, Any]] = None,
 ) -> str:
-    """Save a TrainState + metadata under {directory}/{name}. Overwrites."""
+    """Save a TrainState + metadata under {directory}/{name}. Overwrites.
+
+    Crash-safe: the payload is written into a hidden sibling directory
+    (``.{name}.{seq}``) and ``{name}`` is an atomically-replaced symlink,
+    so an interrupted save never leaves the tree without the previous
+    valid checkpoint (a naive rmtree-then-write destroyed 'latest' on a
+    mid-save crash, defeating resume).
+
+    Multi-host: every process calls this (Orbax coordinates the array
+    write itself); the metadata write, symlink swap, and GC run on the
+    primary only, with a global sync before returning.
+    """
+    multiproc = jax.process_count() > 1
+    primary = jax.process_index() == 0
+
     directory = _as_abspath(directory)
-    os.makedirs(directory, exist_ok=True)
+    if primary:
+        os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, name)
-    state_path = os.path.join(path, "state")
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.makedirs(path)
+
+    # deterministic payload name: identical across processes (they save in
+    # lockstep), never the payload the live symlink currently points at
+    current = os.readlink(path) if os.path.islink(path) else None
+    while True:
+        payload_name = f".{name}.{next(_SAVE_SEQ)}"
+        if payload_name != current:
+            break
+    payload = os.path.join(directory, payload_name)
+    if primary and os.path.exists(payload):  # orphan from an older run
+        shutil.rmtree(payload)
 
     with ocp.StandardCheckpointer() as ckptr:
         # apply_fn/tx are callables, not state — strip to the data pytree
@@ -54,10 +81,45 @@ def save_checkpoint(
             "batch_stats": state.batch_stats,
             "step": state.step,
         }
-        ckptr.save(state_path, tree)
+        ckptr.save(os.path.join(payload, "state"), tree)
 
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(_jsonable(meta or {}), f, indent=2)
+    if primary:
+        with open(os.path.join(payload, "meta.json"), "w") as f:
+            json.dump(_jsonable(meta or {}), f, indent=2)
+
+        # swap the new payload in
+        old_target = None
+        if os.path.islink(path):
+            old_target = os.path.join(directory, os.readlink(path))
+        elif os.path.isdir(path):
+            # legacy plain-directory checkpoint: move aside before linking
+            old_target = path + ".legacy"
+            if os.path.exists(old_target):
+                shutil.rmtree(old_target)
+            os.rename(path, old_target)
+        tmp_link = payload + ".lnk"
+        if os.path.lexists(tmp_link):
+            os.remove(tmp_link)
+        os.symlink(payload_name, tmp_link)
+        os.replace(tmp_link, path)  # atomic on POSIX
+
+        if old_target and os.path.exists(old_target):
+            shutil.rmtree(old_target)
+        # GC payload dirs orphaned by interrupted earlier saves
+        live = os.readlink(path)
+        prefix = f".{name}."
+        for entry in os.listdir(directory):
+            if (
+                entry.startswith(prefix)
+                and entry != live
+                and not entry.endswith(".lnk")
+                and entry[len(prefix):].isdigit()
+            ):
+                shutil.rmtree(os.path.join(directory, entry), ignore_errors=True)
+    if multiproc:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"pcmseg_ckpt_{name}")
     return path
 
 
@@ -81,6 +143,12 @@ def load_checkpoint(path: str, state_template) -> Tuple[Any, Dict[str, Any]]:
     apply_fn/tx are carried over.
     """
     path = _as_abspath(path)
+    if not os.path.exists(os.path.join(path, "state")) and os.path.isdir(
+        os.path.join(path + ".legacy", "state")
+    ):
+        # a crash between the legacy-dir rename and the symlink creation in
+        # save_checkpoint leaves the previous checkpoint at {name}.legacy
+        path = path + ".legacy"
     state_path = os.path.join(path, "state")
     template = {
         "params": state_template.params,
@@ -106,7 +174,10 @@ def load_checkpoint(path: str, state_template) -> Tuple[Any, Dict[str, Any]]:
 
 
 def checkpoint_exists(directory: str, name: str) -> bool:
-    return os.path.isdir(os.path.join(_as_abspath(directory), name, "state"))
+    base = os.path.join(_as_abspath(directory), name)
+    return os.path.isdir(os.path.join(base, "state")) or os.path.isdir(
+        os.path.join(base + ".legacy", "state")
+    )
 
 
 def latest_path(directory: str) -> str:

@@ -68,3 +68,18 @@ def test_loader_applies_augmenter(tmp_path, rng):
     b1 = next(iter(auged))
     assert not np.array_equal(b0["image"], b1["image"])
     assert b0["image"].shape == b1["image"].shape
+
+
+def test_rot90_non_cubic_keeps_shape():
+    """Non-square H-W targets restrict rot90 to 180° (no ragged shapes)."""
+    import numpy as np
+
+    from pcmseg_tpu.data.augment import augment_sample
+
+    image = np.zeros((8, 10, 12, 5), np.float32)
+    label = np.zeros((8, 10, 12, 1), np.float32)
+    for seed in range(20):
+        rng = np.random.default_rng(seed)
+        img, lab = augment_sample(image, label, rng, flip=False, rot90=True,
+                                  intensity_jitter=0.0)
+        assert img.shape == image.shape and lab.shape == label.shape

@@ -141,3 +141,70 @@ def test_export_torch_checkpoint_loadable_by_validator(tmp_path):
         jax.tree.leaves(state.params), jax.tree.leaves(restored.params)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_save_is_atomic_symlink_swap(tmp_path):
+    """Overwriting leaves exactly one payload dir and never a bare tree."""
+    import os
+
+    config = tiny_config()
+    model = UNet3D.from_config(config)
+    state = create_train_state(config, jax.random.key(0), model)
+    save_checkpoint(str(tmp_path), "latest", state, {"epoch": 1})
+    save_checkpoint(str(tmp_path), "latest", state, {"epoch": 2})
+    link = tmp_path / "latest"
+    assert link.is_symlink()
+    payloads = [e for e in os.listdir(tmp_path) if e.startswith(".latest.")]
+    assert len(payloads) == 1  # the superseded payload was GC'd
+    assert os.readlink(link) == payloads[0]
+
+
+def test_load_falls_back_to_legacy_dir(tmp_path):
+    """A crash mid-migration leaves {name}.legacy; load must recover it."""
+    import os
+
+    config = tiny_config()
+    model = UNet3D.from_config(config)
+    state = create_train_state(config, jax.random.key(0), model)
+    save_checkpoint(str(tmp_path), "latest", state, {"epoch": 5})
+    # simulate the crash window: payload renamed aside, symlink not created
+    real = tmp_path / os.readlink(tmp_path / "latest")
+    (tmp_path / "latest").unlink()
+    real.rename(tmp_path / "latest.legacy")
+    assert checkpoint_exists(str(tmp_path), "latest")
+    template = create_train_state(config, jax.random.key(1), model)
+    _, meta = load_checkpoint(str(tmp_path / "latest"), template)
+    assert meta["epoch"] == 5
+
+
+def test_adopt_checkpoint_config_from_meta(tmp_path):
+    """validate/predict must rebuild the template from the checkpoint's own
+    config snapshot (ADVICE round-1: opaque Orbax mismatch otherwise)."""
+    from pcmseg_tpu.infer.validate import adopt_checkpoint_config
+
+    config = tiny_config(base_features=8, norm_layer="group", normalize="zscore")
+    model = UNet3D.from_config(config)
+    state = create_train_state(config, jax.random.key(0), model)
+    path = save_checkpoint(
+        str(tmp_path), "best", state, {"epoch": 1, "config": config.to_dict()}
+    )
+
+    cli_config = tiny_config()  # defaults: base 4, batch norm, percentile
+    adopted = adopt_checkpoint_config(cli_config, path)
+    assert adopted.base_features == 8
+    assert adopted.norm_layer == "group"
+    assert adopted.normalize == "zscore"
+    # explicitly-set CLI flags win over the snapshot
+    kept = adopt_checkpoint_config(cli_config, path, explicit=("normalize",))
+    assert kept.normalize == cli_config.normalize
+    assert kept.base_features == 8
+
+
+def test_adopt_checkpoint_config_pth_defaults_minmax(tmp_path):
+    from pcmseg_tpu.infer.validate import adopt_checkpoint_config
+
+    cfg = tiny_config()  # normalize='percentile' default
+    adopted = adopt_checkpoint_config(cfg, str(tmp_path / "ref.pth"))
+    assert adopted.normalize == "minmax"
+    kept = adopt_checkpoint_config(cfg, str(tmp_path / "ref.pth"), explicit=("normalize",))
+    assert kept.normalize == "percentile"
