@@ -24,11 +24,30 @@ from pcmseg_tpu.core.config import DEFAULT_MODALITIES
 from pcmseg_tpu.data.dataset import ProstateDataset
 
 
-def _collate(samples: List[dict]) -> dict:
+def _padded_plan(
+    idxs: List[int], pad_to: Optional[int]
+) -> "Tuple[List[int], List[float]]":
+    """(dataset indices, per-sample weights) for one batch, padding included.
+
+    Padding cycles *real* samples (keeping BatchNorm statistics on-data)
+    and marks them with weight 0 so the mask-aware loss/metrics ignore
+    them — a ragged tail batch therefore keeps the same compiled shape and
+    sharding as every full batch instead of retracing + replicating.
+    """
+    n = len(idxs)
+    total = pad_to if pad_to is not None and pad_to > n else n
+    picked = [idxs[i % n] for i in range(total)]
+    return picked, [1.0] * n + [0.0] * (total - n)
+
+
+def _collate(samples: List[dict], weights: Optional[List[float]] = None) -> dict:
+    if weights is None:
+        weights = [1.0] * len(samples)
     return {
         "image": np.stack([s["image"] for s in samples]),
         "label": np.stack([s["label"] for s in samples]),
         "case_id": [s["case_id"] for s in samples],
+        "weight": np.asarray(weights, np.float32),
     }
 
 
@@ -43,7 +62,16 @@ class DataLoader:
       num_workers: host threads decoding cases concurrently.
       drop_last: drop the final partial batch. Default False to match the
         reference; note a partial batch triggers one extra XLA compile for
-        its shape (traced once, cached after).
+        its shape (traced once, cached after) unless ``pad_to`` is set.
+      pad_to: pad every smaller batch up to this many samples by cycling
+        real samples, marked weight-0 in the batch's 'weight' vector (the
+        losses/metrics mask them out). One compiled shape for the whole
+        epoch, DP-shardable tail included.
+      process_shard: (process_index, process_count) — multi-host mode: this
+        loader yields only this host's contiguous slice of every (padded)
+        global batch; combine with
+        :func:`pcmseg_tpu.parallel.multihost.make_global_batch`. The padded
+        batch size must divide by process_count.
       seed: shuffle seed.
     """
 
@@ -55,6 +83,8 @@ class DataLoader:
         indices: Optional[Sequence[int]] = None,
         num_workers: int = 4,
         drop_last: bool = False,
+        pad_to: Optional[int] = None,
+        process_shard: Optional[tuple] = None,
         seed: int = 0,
         augmenter=None,
     ):
@@ -73,6 +103,8 @@ class DataLoader:
                 )
         self.num_workers = max(1, int(num_workers))
         self.drop_last = drop_last
+        self.pad_to = pad_to
+        self.process_shard = tuple(process_shard) if process_shard else None
         self.seed = seed
         self._epoch = 0
 
@@ -108,9 +140,28 @@ class DataLoader:
                 sample = self.augmenter(sample, epoch, i)
             return sample
 
+        def plan(b: List[int]):
+            """Padded (indices, weights) for this host's share of batch b."""
+            picked, weights = _padded_plan(b, self.pad_to)
+            if self.process_shard is not None:
+                pi, pc = self.process_shard
+                if len(picked) % pc:
+                    raise ValueError(
+                        f"padded batch size {len(picked)} not divisible by "
+                        f"process_count={pc}; set pad_to to a multiple"
+                    )
+                local = len(picked) // pc
+                picked = picked[pi * local : (pi + 1) * local]
+                weights = weights[pi * local : (pi + 1) * local]
+            return picked, weights
+
+        def realize(b: List[int]) -> dict:
+            picked, weights = plan(b)
+            return _collate([load_one(i) for i in picked], weights)
+
         if self.num_workers <= 1:
             for b in batches:
-                yield _collate([load_one(i) for i in b])
+                yield realize(b)
             return
 
         # overlap decode of the next few batches with consumption of the
@@ -122,18 +173,12 @@ class DataLoader:
             pending = deque()
             it = iter(batches)
             for b in itertools.islice(it, window):
-                pending.append(
-                    pool.submit(lambda idxs=b: _collate([load_one(i) for i in idxs]))
-                )
+                pending.append(pool.submit(realize, b))
             while pending:
                 f = pending.popleft()
                 nxt = next(it, None)
                 if nxt is not None:
-                    pending.append(
-                        pool.submit(
-                            lambda idxs=nxt: _collate([load_one(i) for i in idxs])
-                        )
-                    )
+                    pending.append(pool.submit(realize, nxt))
                 yield f.result()
 
 

@@ -25,35 +25,63 @@ def _flatten_f32(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(-1).astype(jnp.float32)
 
 
-def dice_loss(logits: jnp.ndarray, targets: jnp.ndarray, smooth: float = 1.0):
+def _sample_weight_f32(weight: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
+    """(N,) per-sample weight → broadcastable (N,1,...,1) float32."""
+    return weight.reshape((like.shape[0],) + (1,) * (like.ndim - 1)).astype(
+        jnp.float32
+    )
+
+
+def dice_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    smooth: float = 1.0,
+    weight: jnp.ndarray = None,
+):
     """Soft Dice loss over the whole batch (global flatten, like the reference).
 
     Args:
       logits: raw model outputs, any shape.
       targets: binary ground truth, same shape as ``logits``.
       smooth: smoothing constant (reference default 1.0).
+      weight: optional (N,) per-sample 0/1 weights. Zero-weight samples
+        (mask padding for ragged tail batches) contribute nothing to the
+        global sums, so the loss — and its gradient — equals the unpadded
+        global-flatten Dice over the real samples.
     """
     if logits.shape != targets.shape:
         raise ValueError(
             f"shape mismatch: logits {logits.shape} vs targets {targets.shape}"
         )
-    probs = _flatten_f32(jnn.sigmoid(logits))
-    t = _flatten_f32(targets)
+    probs = jnn.sigmoid(logits).astype(jnp.float32)
+    t = targets.astype(jnp.float32)
+    if weight is not None:
+        w = _sample_weight_f32(weight, logits)
+        probs = probs * w
+        t = t * w
     intersection = jnp.sum(probs * t)
     dice = (2.0 * intersection + smooth) / (jnp.sum(probs) + jnp.sum(t) + smooth)
     return 1.0 - dice
 
 
-def bce_loss(logits: jnp.ndarray, targets: jnp.ndarray):
+def bce_loss(logits: jnp.ndarray, targets: jnp.ndarray, weight: jnp.ndarray = None):
     """Mean binary cross-entropy with logits (numerically stable).
 
     Matches ``torch.nn.BCEWithLogitsLoss`` (mean reduction):
-    ``max(x,0) - x·t + log(1 + exp(-|x|))``.
+    ``max(x,0) - x·t + log(1 + exp(-|x|))``. With per-sample ``weight`` the
+    mean runs over real (weight>0) voxels only.
     """
-    x = _flatten_f32(logits)
-    t = _flatten_f32(targets)
+    x = logits.astype(jnp.float32)
+    t = targets.astype(jnp.float32)
     per_elem = jnp.maximum(x, 0.0) - x * t + jnp.log1p(jnp.exp(-jnp.abs(x)))
-    return jnp.mean(per_elem)
+    if weight is None:
+        return jnp.mean(per_elem)
+    # samples all have the same voxel count, so the masked per-voxel mean
+    # equals the weighted mean of per-sample means
+    w = weight.astype(jnp.float32)
+    axes = tuple(range(1, per_elem.ndim))
+    per_sample = jnp.mean(per_elem, axis=axes)
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 def bce_dice_loss(
@@ -62,24 +90,30 @@ def bce_dice_loss(
     bce_weight: float = 0.5,
     dice_weight: float = 0.5,
     smooth: float = 1.0,
+    weight: jnp.ndarray = None,
 ):
     """Weighted BCE + Dice combination (reference utils/losses.py:95-152)."""
-    return bce_weight * bce_loss(logits, targets) + dice_weight * dice_loss(
-        logits, targets, smooth
+    return bce_weight * bce_loss(logits, targets, weight) + dice_weight * dice_loss(
+        logits, targets, smooth, weight
     )
 
 
 def make_loss_fn(name: str, **kwargs):
-    """Loss factory keyed by config names ('dice' | 'bce_dice')."""
+    """Loss factory keyed by config names ('dice' | 'bce_dice').
+
+    Returned fns take (logits, targets, weight=None)."""
     if name == "dice":
         smooth = kwargs.get("dice_smooth", 1.0)
-        return lambda logits, targets: dice_loss(logits, targets, smooth)
+        return lambda logits, targets, weight=None: dice_loss(
+            logits, targets, smooth, weight
+        )
     if name == "bce_dice":
-        return lambda logits, targets: bce_dice_loss(
+        return lambda logits, targets, weight=None: bce_dice_loss(
             logits,
             targets,
             bce_weight=kwargs.get("bce_weight", 0.5),
             dice_weight=kwargs.get("dice_weight", 0.5),
             smooth=kwargs.get("dice_smooth", 1.0),
+            weight=weight,
         )
     raise ValueError(f"unknown loss: {name!r}")

@@ -85,9 +85,28 @@ def get_learning_rate(state: TrainState) -> float:
 
 
 def set_learning_rate(state: TrainState, lr: float) -> TrainState:
-    """Functionally update the injected learning rate (no retrace)."""
+    """Functionally update the injected learning rate (no retrace).
+
+    The replacement keeps the old leaf's sharding: under a multi-host mesh
+    the LR must stay a *global* replicated array (a plain host-side
+    ``jnp.asarray`` is single-device, which Orbax refuses to serialize in
+    multi-process settings). Every process computes the same ``lr`` from
+    the same deterministic scheduler, so the callback-built global array
+    is consistent.
+    """
+    import numpy as np
+
     hp = dict(state.opt_state.hyperparams)
-    hp["learning_rate"] = jnp.asarray(lr, dtype=jnp.asarray(hp["learning_rate"]).dtype)
+    old = hp["learning_rate"]
+    dtype = jnp.asarray(old).dtype
+    sharding = getattr(old, "sharding", None)
+    if sharding is not None:
+        value = np.asarray(lr, dtype=dtype)
+        hp["learning_rate"] = jax.make_array_from_callback(
+            (), sharding, lambda idx: value
+        )
+    else:
+        hp["learning_rate"] = jnp.asarray(lr, dtype=dtype)
     return state.replace(opt_state=state.opt_state._replace(hyperparams=hp))
 
 
@@ -147,7 +166,7 @@ def make_train_step(
     has_bn = model.norm_layer == "batch"
     accum = max(1, int(getattr(config, "accum_steps", 1)))
 
-    def loss_of(params, batch_stats, images, labels):
+    def loss_of(params, batch_stats, images, labels, weight):
         variables = {"params": params}
         if has_bn:
             variables["batch_stats"] = batch_stats
@@ -158,7 +177,7 @@ def make_train_step(
         else:
             logits = model.apply(variables, images, train=True)
             new_stats = batch_stats
-        loss = loss_fn(logits, align_labels(logits, labels))
+        loss = loss_fn(logits, align_labels(logits, labels), weight)
         return loss, new_stats
 
     grad_fn = jax.value_and_grad(loss_of, has_aux=True)
@@ -168,10 +187,14 @@ def make_train_step(
         labels = align_labels(
             jnp.zeros(images.shape[:-1] + (1,), images.dtype), batch["label"]
         )
+        # optional (N,) 0/1 weights masking tail-batch padding out of the
+        # loss (the padded samples are cycled real data, so BN statistics
+        # stay on-distribution)
+        weight = batch.get("weight")
 
         if accum == 1:
             (loss, new_stats), grads = grad_fn(
-                state.params, state.batch_stats, images, labels
+                state.params, state.batch_stats, images, labels, weight
             )
         else:
             # gradient accumulation: lax.scan over microbatches — one
@@ -188,17 +211,22 @@ def make_train_step(
             micro = images.shape[0] // accum
             img_m = images.reshape(accum, micro, *images.shape[1:])
             lab_m = labels.reshape(accum, micro, *labels.shape[1:])
+            w_m = (
+                weight.reshape(accum, micro)
+                if weight is not None
+                else jnp.ones((accum, micro), jnp.float32)
+            )
 
             def body(carry, xs):
                 stats, grad_acc, loss_acc = carry
-                img, lab = xs
-                (l, new_stats), g = grad_fn(state.params, stats, img, lab)
+                img, lab, w = xs
+                (l, new_stats), g = grad_fn(state.params, stats, img, lab, w)
                 grad_acc = jax.tree.map(jnp.add, grad_acc, g)
                 return (new_stats, grad_acc, loss_acc + l), None
 
             zero_grads = jax.tree.map(jnp.zeros_like, state.params)
             (new_stats, grads, loss_sum), _ = jax.lax.scan(
-                body, (state.batch_stats, zero_grads, 0.0), (img_m, lab_m)
+                body, (state.batch_stats, zero_grads, 0.0), (img_m, lab_m, w_m)
             )
             grads = jax.tree.map(lambda g: g / accum, grads)
             loss = loss_sum / accum
@@ -231,12 +259,13 @@ def make_eval_step(model, config, loss_fn: Optional[Callable] = None) -> Callabl
     def eval_step(state: TrainState, batch):
         images = batch["image"]
         labels = batch["label"]
+        weight = batch.get("weight")
         variables = {"params": state.params}
         if has_bn:
             variables["batch_stats"] = state.batch_stats
         logits = state.apply_fn(variables, images, train=False)
         labels = align_labels(logits, labels)
-        loss = loss_fn(logits, labels)
+        loss = loss_fn(logits, labels, weight)
 
         probs = jax.nn.sigmoid(logits.astype(jnp.float32))
         pred = (probs > threshold).astype(jnp.float32)
@@ -247,7 +276,17 @@ def make_eval_step(model, config, loss_fn: Optional[Callable] = None) -> Callabl
         psum, tsum = jnp.sum(p, axis=1), jnp.sum(t, axis=1)
         dice = (2.0 * inter) / (psum + tsum + EPS)
         iou = inter / (psum + tsum - inter + EPS)
-        return {"loss": loss, "dice": dice, "iou": iou}
+        # weighted scalar aggregates: replicated outputs every process can
+        # read under multi-host sharding (per-sample arrays are not)
+        w = weight.astype(jnp.float32) if weight is not None else jnp.ones((n,))
+        return {
+            "loss": loss,
+            "dice": dice,
+            "iou": iou,
+            "dice_sum": jnp.sum(dice * w),
+            "iou_sum": jnp.sum(iou * w),
+            "weight_sum": jnp.sum(w),
+        }
 
     return eval_step
 

@@ -32,7 +32,6 @@ from pcmseg_tpu.models import UNet3D
 from pcmseg_tpu.parallel.sharding import (
     batch_sharding,
     make_mesh,
-    replicated,
     shard_state,
 )
 from pcmseg_tpu.train.checkpoints import (
@@ -85,7 +84,12 @@ class Trainer:
 
         # -- split ----------------------------------------------------------
         n = len(self.dataset)
-        if train_indices is None:
+        if train_indices is None and val_indices is not None:
+            # val alone: train on the complement (previously this branch
+            # silently overwrote the caller's val_indices with a new split)
+            val_set = {int(i) for i in val_indices}
+            train_indices = [i for i in range(n) if i not in val_set]
+        elif train_indices is None:
             if config.validation and n >= 2:
                 rng = np.random.default_rng(config.seed)
                 perm = rng.permutation(n)
@@ -97,6 +101,35 @@ class Trainer:
                 val_indices = None
         self.train_indices = list(train_indices)
         self.val_indices = list(val_indices) if val_indices is not None else None
+
+        # -- mesh (needed before the loaders: batches pad to a DP multiple) --
+        try:
+            self.mesh = make_mesh(
+                config.data_parallel,
+                config.spatial_parallel,
+                config.tensor_parallel,
+            )
+        except ValueError:
+            self.log.warning("mesh config infeasible on this host; using 1x1x1")
+            self.mesh = make_mesh(1, 1, 1)
+        dp = self.mesh.shape["data"]
+        # multi-host: this process loads only its slice of each global batch
+        self.process_count = jax.process_count()
+        self.process_index = jax.process_index()
+        self.is_primary = self.process_index == 0
+        # every batch (ragged tail included) pads up to the same size,
+        # divisible by both the DP degree and the process count: one
+        # compiled shape per epoch, always sharded, padding masked out of
+        # the loss via the batch's weight vector (VERDICT.md weak #5)
+        import math
+
+        q = dp * self.process_count // math.gcd(dp, self.process_count)
+        pad_to = -(-config.batch_size // q) * q
+        process_shard = (
+            (self.process_index, self.process_count)
+            if self.process_count > 1
+            else None
+        )
 
         augmenter = None
         if config.data_augmentation:
@@ -115,6 +148,8 @@ class Trainer:
             indices=self.train_indices,
             seed=config.seed,
             augmenter=augmenter,
+            pad_to=pad_to,
+            process_shard=process_shard,
         )
         self.val_loader = (
             DataLoader(
@@ -122,27 +157,20 @@ class Trainer:
                 batch_size=config.batch_size,
                 shuffle=False,
                 indices=self.val_indices,
+                pad_to=pad_to,
+                process_shard=process_shard,
             )
             if self.val_indices
             else None
         )
 
-        # -- model / state / mesh --------------------------------------------
+        # -- model / state ----------------------------------------------------
         self.model = UNet3D.from_config(config)
         d, h, w = config.target_size
         init_shape = (1, d, h, w, config.n_modalities)
         self.state = create_train_state(
             config, jax.random.key(config.seed), self.model, init_shape
         )
-        try:
-            self.mesh = make_mesh(
-                config.data_parallel,
-                config.spatial_parallel,
-                config.tensor_parallel,
-            )
-        except ValueError:
-            self.log.warning("mesh config infeasible on this host; using 1x1x1")
-            self.mesh = make_mesh(1, 1, 1)
         self.state = shard_state(self.state, self.mesh)
 
         self._train_step = jit_train_step(
@@ -156,6 +184,11 @@ class Trainer:
         self.best_monitor = float("inf")
         self.start_epoch = 0
         self.timer = StepTimer(warmup_steps=1)
+        from pcmseg_tpu.utils.profiling import StepTraceController
+
+        self.tracer = StepTraceController(
+            config.profile_dir, n_steps=config.profile_steps
+        )
 
         if config.resume:
             self._try_resume()
@@ -197,24 +230,29 @@ class Trainer:
     # -- epoch loops -----------------------------------------------------------
 
     def _device_batches(self, loader: DataLoader):
-        dp = self.mesh.shape["data"]
-
-        def shard_for(batch):
-            n = batch["image"].shape[0]
-            if n % max(dp, 1) == 0:
-                return batch_sharding(self.mesh, 5)
-            return replicated(self.mesh)  # ragged tail batch: replicate
+        # loaders pad every batch to a DP-divisible size, so batches are
+        # always sharded — no replicated-tail special case, no retrace
+        multiproc = self.process_count > 1
+        if multiproc:
+            from pcmseg_tpu.parallel.multihost import make_global_batch
 
         for batch in loader:
-            sharding = shard_for(batch)
-            yield {
-                k: (
-                    jax.device_put(v, sharding)
-                    if isinstance(v, np.ndarray)
-                    else v
-                )
-                for k, v in batch.items()
-            }
+            # real (unpadded) sample count, recorded host-side: globally
+            # sharded arrays aren't addressable from one process
+            n_real = float(np.sum(batch["weight"]))
+            if multiproc:
+                out = make_global_batch(batch, self.mesh)
+            else:
+                out = {
+                    k: (
+                        jax.device_put(v, batch_sharding(self.mesh, v.ndim))
+                        if isinstance(v, np.ndarray)
+                        else v
+                    )
+                    for k, v in batch.items()
+                }
+            out["n_real"] = n_real
+            yield out
 
     def train_epoch(self) -> float:
         from pcmseg_tpu.data.loader import background_prefetch
@@ -226,10 +264,16 @@ class Trainer:
                 depth=self.config.prefetch,
             )
         ):
-            n = batch["image"].shape[0]
+            n = int(batch["n_real"])  # real (unpadded) samples, this process
+            self.tracer.on_step(step_idx)
             self.timer.start()
             self.state, metrics = self._train_step(
-                self.state, {"image": batch["image"], "label": batch["label"]}
+                self.state,
+                {
+                    "image": batch["image"],
+                    "label": batch["label"],
+                    "weight": batch["weight"],
+                },
             )
             loss = float(metrics["loss"])  # D2H sync once per step
             self.timer.stop(items=n)
@@ -253,21 +297,32 @@ class Trainer:
                     step_idx + 1, len(self.train_loader), loss,
                     self.timer.items_per_sec,
                 )
+        self.tracer.close()  # flush if the epoch was shorter than the window
         return float(np.mean(losses)) if losses else float("nan")
 
     def validate_epoch(self) -> Dict[str, float]:
-        losses, dices, ious = [], [], []
+        losses = []
+        dice_sum = iou_sum = w_sum = 0.0
         for batch in self._device_batches(self.val_loader):
             m = self._eval_step(
-                self.state, {"image": batch["image"], "label": batch["label"]}
+                self.state,
+                {
+                    "image": batch["image"],
+                    "label": batch["label"],
+                    "weight": batch["weight"],
+                },
             )
+            # weighted scalar sums (replicated outputs) rather than
+            # per-sample fetches: globally-sharded per-sample arrays aren't
+            # addressable from a single process in multi-host mode
             losses.append(float(m["loss"]))
-            dices.extend(np.asarray(m["dice"]).tolist())
-            ious.extend(np.asarray(m["iou"]).tolist())
+            dice_sum += float(m["dice_sum"])
+            iou_sum += float(m["iou_sum"])
+            w_sum += float(m["weight_sum"])
         return {
             "loss": float(np.mean(losses)),
-            "dice": float(np.mean(dices)),
-            "iou": float(np.mean(ious)),
+            "dice": dice_sum / max(w_sum, 1.0),
+            "iou": iou_sum / max(w_sum, 1.0),
         }
 
     def train(self) -> Dict[str, List[float]]:

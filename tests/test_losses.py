@@ -92,3 +92,33 @@ def test_bf16_logits_are_upcast(rng):
         dice_loss(jnp.asarray(logits, dtype=jnp.bfloat16), jnp.asarray(target))
     )
     assert half == pytest.approx(full, abs=5e-3)
+
+
+def test_weight_masks_padding_exactly(rng):
+    """Padded (weight-0) samples must not change dice/bce/bce_dice at all."""
+    logits = rng.normal(size=(3, 4, 4, 4, 1)).astype(np.float32)
+    target = (rng.random((3, 4, 4, 4, 1)) > 0.5).astype(np.float32)
+    # pad by cycling a real sample, weight 0 — exactly what the loader does
+    pl = jnp.asarray(np.concatenate([logits, logits[:1]], axis=0))
+    pt = jnp.asarray(np.concatenate([target, target[:1]], axis=0))
+    w = jnp.asarray([1.0, 1.0, 1.0, 0.0], jnp.float32)
+    for fn in (
+        dice_loss,
+        bce_loss,
+        lambda a, b, weight=None: bce_dice_loss(a, b, weight=weight),
+    ):
+        full = float(fn(jnp.asarray(logits), jnp.asarray(target)))
+        masked = float(fn(pl, pt, weight=w))
+        assert masked == pytest.approx(full, rel=1e-6), fn
+
+
+def test_all_ones_weight_is_identity(rng):
+    logits = jnp.asarray(rng.normal(size=(2, 8, 8, 8, 1)).astype(np.float32))
+    target = jnp.asarray((rng.random((2, 8, 8, 8, 1)) > 0.5).astype(np.float32))
+    w = jnp.ones((2,), jnp.float32)
+    assert float(dice_loss(logits, target, weight=w)) == pytest.approx(
+        float(dice_loss(logits, target)), rel=1e-6
+    )
+    assert float(bce_loss(logits, target, weight=w)) == pytest.approx(
+        float(bce_loss(logits, target)), rel=1e-6
+    )
