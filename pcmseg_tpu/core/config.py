@@ -121,9 +121,13 @@ class Config:
     keep_checkpoints: int = 3
     resume: bool = False  # real resume (reference claimed, never implemented)
 
-    # ---- logging ----------------------------------------------------------
+    # ---- logging / profiling ------------------------------------------------
     log_frequency: int = 1
     print_frequency: int = 10
+    # write a jax.profiler trace of `profile_steps` training steps (skipping
+    # the compile step) into this directory; None disables
+    profile_dir: Optional[str] = None
+    profile_steps: int = 5
 
     # ---- TPU / parallelism --------------------------------------------------
     compute_dtype: str = "bfloat16"  # activations/conv compute
@@ -145,6 +149,7 @@ class Config:
     sliding_window: bool = False  # full-volume overlap-tiled inference
     window_size: Tuple[int, int, int] = (128, 128, 128)
     window_overlap: float = 0.5
+    window_blend: str = "gaussian"  # 'gaussian' (seam-free) | 'uniform'
 
     def __post_init__(self):
         self.modalities = tuple(self.modalities)
@@ -171,6 +176,11 @@ class Config:
             raise ValueError(f"data_type={self.data_type!r}; expected 'BPH' or 'PCA'")
         if len(self.target_size) != 3:
             raise ValueError(f"target_size must be (D,H,W), got {self.target_size}")
+        if self.window_blend not in ("gaussian", "uniform"):
+            raise ValueError(
+                f"window_blend={self.window_blend!r}; "
+                "expected 'gaussian' or 'uniform'"
+            )
         if self.n_modalities != len(self.modalities):
             # keep them coherent — modalities list wins
             self.n_modalities = len(self.modalities)

@@ -4,9 +4,16 @@ The reference ran whole volumes through the net at native resolution
 (script/predict.py:152-172), which at full scan sizes explodes activation
 memory. This is the volumetric analog of long-context tiling: fixed-size
 windows (one XLA compile, static shapes) slide over the volume with
-overlap, predictions are blended by uniform averaging over a coverage
-count map. BASELINE.json names overlap-tiled inference as a target
-capability.
+overlap, predictions blended by a per-tile weight map over a coverage
+map. BASELINE.json names overlap-tiled inference as a target capability.
+
+Blending modes:
+  * ``gaussian`` (default) — tiles weighted by a separable Gaussian
+    centered in the window (sigma = window/8, the nnU-Net convention), so
+    voxels near tile borders — where the network has the least context —
+    defer to the neighboring tile's center. Visibly removes seam
+    artifacts at tile boundaries.
+  * ``uniform`` — plain averaging over the coverage count.
 """
 
 from __future__ import annotations
@@ -14,6 +21,8 @@ from __future__ import annotations
 from typing import Callable, List, Sequence, Tuple
 
 import numpy as np
+
+BLEND_MODES = ("gaussian", "uniform")
 
 
 def _window_starts(size: int, window: int, stride: int) -> List[int]:
@@ -26,12 +35,32 @@ def _window_starts(size: int, window: int, stride: int) -> List[int]:
     return starts
 
 
+def _tile_weight(window_size: Sequence[int], blend: str) -> np.ndarray:
+    """(wd, wh, ww, 1) float32 blending weight for one tile."""
+    if blend not in BLEND_MODES:
+        raise ValueError(f"blend must be one of {BLEND_MODES}, got {blend!r}")
+    wd, wh, ww = (int(x) for x in window_size)
+    if blend == "uniform":
+        return np.ones((wd, wh, ww, 1), np.float32)
+    axes = []
+    for n in (wd, wh, ww):
+        x = np.arange(n, dtype=np.float64)
+        center = (n - 1) / 2.0
+        sigma = max(n / 8.0, 1.0)  # nnU-Net's sigma_scale = 1/8
+        axes.append(np.exp(-0.5 * ((x - center) / sigma) ** 2))
+    w = axes[0][:, None, None] * axes[1][None, :, None] * axes[2][None, None, :]
+    # floor keeps border voxels (covered by a single tile) numerically sane
+    w = np.maximum(w, 1e-4 * w.max())
+    return w[..., None].astype(np.float32)
+
+
 def sliding_window_predict(
     predict_fn: Callable[[np.ndarray], np.ndarray],
     image: np.ndarray,
     window_size: Sequence[int] = (128, 128, 128),
     overlap: float = 0.5,
     pad_value: float = 0.0,
+    blend: str = "gaussian",
 ) -> np.ndarray:
     """Tiled prediction over a (D, H, W, C) volume.
 
@@ -43,6 +72,7 @@ def sliding_window_predict(
       window_size: (wd, wh, ww) tile.
       overlap: fraction of window overlapped between neighboring tiles
         (0 <= overlap < 1).
+      blend: 'gaussian' (center-weighted, seam-free) or 'uniform'.
 
     Returns:
       (D, H, W, K) blended probabilities.
@@ -73,6 +103,7 @@ def sliding_window_predict(
         _window_starts(pw, ww, strides[2]),
     )
 
+    weight = _tile_weight((wd, wh, ww), blend)
     accum = None
     counts = np.zeros((pd, ph, pw, 1), dtype=np.float32)
     for z0 in starts[0]:
@@ -84,9 +115,11 @@ def sliding_window_predict(
                     accum = np.zeros(
                         (pd, ph, pw, probs.shape[-1]), dtype=np.float32
                     )
-                accum[z0 : z0 + wd, y0 : y0 + wh, x0 : x0 + ww, :] += probs
-                counts[z0 : z0 + wd, y0 : y0 + wh, x0 : x0 + ww, :] += 1.0
-    out = accum / np.maximum(counts, 1.0)
+                accum[z0 : z0 + wd, y0 : y0 + wh, x0 : x0 + ww, :] += (
+                    probs * weight
+                )
+                counts[z0 : z0 + wd, y0 : y0 + wh, x0 : x0 + ww, :] += weight
+    out = accum / np.maximum(counts, 1e-8)
     return out[:d, :h, :w, :]
 
 
@@ -97,6 +130,7 @@ def make_device_sliding_window(
     n_out: int,
     window_size: Sequence[int] = (128, 128, 128),
     overlap: float = 0.5,
+    blend: str = "gaussian",
 ):
     """Build a fully on-device tiled predictor: one jit, zero per-tile D2H.
 
@@ -127,9 +161,10 @@ def make_device_sliding_window(
         for y0 in _window_starts(ph, wh, strides[1])
         for x0 in _window_starts(pw, ww, strides[2])
     ]
+    weight = _tile_weight((wd, wh, ww), blend)
     counts = np.zeros((pd, ph, pw, 1), dtype=np.float32)
     for z0, y0, x0 in starts:
-        counts[z0 : z0 + wd, y0 : y0 + wh, x0 : x0 + ww, :] += 1.0
+        counts[z0 : z0 + wd, y0 : y0 + wh, x0 : x0 + ww, :] += weight
 
     @jax.jit
     def run(variables, image):
@@ -141,6 +176,7 @@ def make_device_sliding_window(
             image, ((0, pd - d), (0, ph - h), (0, pw - w), (0, 0))
         )
         accum = jnp.zeros((pd, ph, pw, n_out), jnp.float32)
+        w_tile = jnp.asarray(weight)
         for z0, y0, x0 in starts:
             tile = jax.lax.dynamic_slice(
                 padded, (z0, y0, x0, 0), (wd, wh, ww, n_channels)
@@ -150,9 +186,9 @@ def make_device_sliding_window(
                 accum, (z0, y0, x0, 0), (wd, wh, ww, n_out)
             )
             accum = jax.lax.dynamic_update_slice(
-                accum, window + probs, (z0, y0, x0, 0)
+                accum, window + probs * w_tile, (z0, y0, x0, 0)
             )
-        out = accum / jnp.asarray(counts)
+        out = accum / jnp.maximum(jnp.asarray(counts), 1e-8)
         return out[:d, :h, :w, :]
 
     return run

@@ -38,6 +38,40 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+class StepTraceController:
+    """Traces a fixed window of training steps into a profiler dump.
+
+    Wired to the trainer via ``config.profile_dir`` / ``--profile``: the
+    trace starts at ``start_step`` (default 1, skipping the compile step)
+    and stops after ``n_steps`` steps — or at ``close()`` if the epoch is
+    shorter. One-shot: only the first window is captured.
+    """
+
+    def __init__(self, log_dir: Optional[str], start_step: int = 1,
+                 n_steps: int = 5):
+        self.log_dir = log_dir
+        self.start_step = start_step
+        self.n_steps = max(1, n_steps)
+        self._active = False
+        self._done = log_dir is None
+
+    def on_step(self, step_idx: int) -> None:
+        """Call at the TOP of each step with its 0-based index."""
+        if self._done:
+            return
+        if not self._active and step_idx == self.start_step:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        elif self._active and step_idx >= self.start_step + self.n_steps:
+            self.close()
+
+    def close(self) -> None:
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+        self._done = True
+
+
 @contextlib.contextmanager
 def device_memory_report() -> Iterator[None]:
     """Print per-device memory stats after the enclosed region (best effort)."""

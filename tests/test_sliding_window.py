@@ -105,3 +105,61 @@ def test_device_sliding_window_small_volume(rng):
     out = np.asarray(run({}, img))
     assert out.shape == (5, 6, 7, 1)
     np.testing.assert_allclose(out[..., 0], img[..., 0], atol=1e-6)
+
+
+def test_gaussian_blend_reduces_seam_error():
+    """Tile predictions degraded near borders: gaussian blending must beat
+    uniform averaging (VERDICT round-1 polish item — seam regression)."""
+    import numpy as np
+
+    from pcmseg_tpu.infer.sliding_window import sliding_window_predict
+
+    rng = np.random.default_rng(0)
+    gt = rng.random((24, 24, 24, 1)).astype(np.float32)
+    ws = (16, 16, 16)
+    # artifact grows linearly toward tile borders (receptive-field falloff)
+    n = ws[0]
+    d = np.abs(np.arange(n, dtype=np.float32) - (n - 1) / 2) / (n / 2)
+    dist = np.maximum.reduce(np.meshgrid(d, d, d, indexing="ij"))
+    border_err = (0.5 * dist[..., None]).astype(np.float32)
+
+    def pf(tile):  # identity prediction + border-heavy artifact
+        return tile[..., :1] + border_err[None]
+
+    kw = dict(window_size=ws, overlap=0.5)
+    out_g = sliding_window_predict(pf, gt, blend="gaussian", **kw)
+    out_u = sliding_window_predict(pf, gt, blend="uniform", **kw)
+    # compare inside the seam band, where tiles overlap (2 tiles/axis at
+    # starts 0 and 8 → the [8:16) band is multi-coverage); single-coverage
+    # corners are identical under any weighting
+    band = np.s_[8:16, 8:16, 8:16]
+    err_g = np.abs(out_g[band] - gt[band]).mean()
+    err_u = np.abs(out_u[band] - gt[band]).mean()
+    assert err_g < 0.8 * err_u, (err_g, err_u)
+
+
+def test_device_gaussian_matches_host(rng):
+    """On-device gaussian blending == host-loop gaussian blending."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pcmseg_tpu.infer.sliding_window import (
+        make_device_sliding_window,
+        sliding_window_predict,
+    )
+
+    img = rng.random((20, 20, 20, 2)).astype(np.float32)
+
+    def apply_fn(variables, x):
+        return x[..., :1] * variables["scale"]
+
+    run = make_device_sliding_window(
+        apply_fn, (20, 20, 20), n_channels=2, n_out=1,
+        window_size=(16, 16, 16), overlap=0.5, blend="gaussian",
+    )
+    got = np.asarray(run({"scale": jnp.asarray(0.7)}, jnp.asarray(img)))
+    want = sliding_window_predict(
+        lambda t: t[..., :1] * 0.7, img,
+        window_size=(16, 16, 16), overlap=0.5, blend="gaussian",
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)
