@@ -1,0 +1,115 @@
+"""Multi-host (pod-slice) scale-out: jax.distributed + per-host data feeding.
+
+The reference is a single-process, single-device pipeline (SURVEY.md §2.2);
+single-*process* multi-chip DP/TP/SP came in round 1 via GSPMD. This module
+adds the multi-controller layer a TPU pod slice needs:
+
+  * :func:`initialize` — one-call ``jax.distributed.initialize`` wrapper
+    (auto-detects TPU pod environments when called with no arguments; takes
+    explicit coordinator/process arguments for CPU test clusters, where it
+    also flips the collectives implementation to gloo).
+  * :func:`process_local_indices` — deterministic per-host shard of a case
+    list (every host computes the same global shuffle, then takes its
+    slice — no coordination traffic).
+  * :func:`make_global_batch` — assembles the globally-sharded batch from
+    each host's locally-loaded arrays via
+    ``jax.make_array_from_process_local_data`` so no host ever materializes
+    the full global batch.
+
+Under jit nothing else changes: the train step, shardings, and GSPMD
+collectives are identical to the single-process path — the mesh simply
+spans every process's devices.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+
+from pcmseg_tpu.parallel.sharding import batch_sharding
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids: Optional[Sequence[int]] = None,
+) -> None:
+    """Initialize the JAX distributed runtime (idempotent).
+
+    With no arguments, relies on jax's cluster auto-detection (TPU pod
+    environments set the coordinator/process topology automatically). For
+    explicit clusters — e.g. the CPU test cluster in
+    tests/test_multihost.py — pass coordinator/process arguments; on CPU
+    backends the gloo collectives implementation is selected so
+    cross-process psum/all-gather work.
+    """
+    from jax._src import distributed as _dist
+
+    # NB: probing via jax.process_count() would itself initialize the XLA
+    # backend, which forbids a later jax.distributed.initialize
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # already initialized
+    if coordinator_address is not None:
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:  # noqa: BLE001 — TPU-only builds may drop the knob
+            pass
+    kwargs: Dict[str, Any] = {}
+    if coordinator_address is not None:
+        kwargs.update(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    if local_device_ids is not None:
+        kwargs.update(local_device_ids=list(local_device_ids))
+    jax.distributed.initialize(**kwargs)
+
+
+def process_local_indices(
+    indices: Sequence[int],
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+) -> list:
+    """Host ``i``'s strided slice of a (filtered) case-index list.
+
+    Every host calls this with the SAME ``indices`` (case discovery and
+    filtering are deterministic), so the shards partition the list without
+    any cross-host coordination. Strided (``indices[i::P]``) rather than
+    contiguous so sorted case lists don't give one host all the large/early
+    cases.
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return list(indices)[pi::pc]
+
+
+def make_global_batch(local_batch: Dict[str, Any], mesh) -> Dict[str, Any]:
+    """Per-host local arrays → one globally-sharded batch on the mesh.
+
+    Each host passes the ``local_batch`` it loaded (its contiguous slice of
+    the global batch, ``global_n = local_n * process_count``);
+    ``jax.make_array_from_process_local_data`` stitches the global jax.Array
+    without gathering data to any single host. Non-array values (case_id
+    lists) stay process-local.
+    """
+    out = {}
+    for k, v in local_batch.items():
+        if isinstance(v, np.ndarray):
+            sharding = batch_sharding(mesh, v.ndim)
+            out[k] = jax.make_array_from_process_local_data(sharding, v)
+        else:
+            out[k] = v
+    return out
+
+
+def is_multiprocess() -> bool:
+    return jax.process_count() > 1
+
+
+def is_primary() -> bool:
+    """True on the process that should write checkpoints/artifacts."""
+    return jax.process_index() == 0
