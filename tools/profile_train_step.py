@@ -46,6 +46,37 @@ def timed(fn, *args, steps=5):
     return (time.perf_counter() - t0) / steps, out
 
 
+def timed_chained(op, x, w, iters=20):
+    """Time a small op with iterations CHAINED inside one jit.
+
+    A Python-side dispatch loop under-measures ops smaller than the
+    per-call overhead of the tunneled backend (~5-10 ms floor). Here each
+    iteration's output perturbs the next iteration's input by an
+    epsilon-scaled scalar, forcing a serial dependence (no hoisting, no
+    overlap), so one dispatch executes `iters` real ops back to back.
+    """
+    import jax.numpy as jnp
+
+    @jax.jit
+    def many(x, w):
+        def body(i, carry):
+            xc, s = carry
+            y = op(xc, w)
+            probe = y.reshape(-1)[0]
+            return (
+                xc + (probe * 1e-24).astype(xc.dtype),
+                s + probe.astype(jnp.float32),
+            )
+
+        _, s = jax.lax.fori_loop(0, iters, body, (x, jnp.float32(0.0)))
+        return s
+
+    fetch_barrier(many(x, w))  # warmup + compile
+    t0 = time.perf_counter()
+    fetch_barrier(many(x, w))
+    return (time.perf_counter() - t0) / iters
+
+
 def conv_flops(spatial, cin, cout, k=3):
     vox = spatial ** 3
     return 2 * vox * cin * cout * (k ** 3)
@@ -57,6 +88,7 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--skip_micro", action="store_true")
+    ap.add_argument("--out", default=None, help="also write the JSON here")
     args = ap.parse_args()
 
     from pcmseg_tpu.core.cache import enable_compilation_cache
@@ -155,14 +187,13 @@ def main():
                 rng.normal(size=(k, k, k, cin, cout)) * 0.01, jnp.bfloat16
             )
 
-            @jax.jit
             def conv(x, w):
                 return jax.lax.conv_general_dilated(
                     x, w, (1, 1, 1), "SAME",
                     dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
                 )
 
-            t, _ = timed(lambda: conv(x, w), steps=args.steps)
+            t = timed_chained(conv, x, w, iters=20)
             fl = batch * conv_flops(sp, cin, cout, k)
             micro.append(
                 {
@@ -187,14 +218,13 @@ def main():
                 rng.normal(size=(2, 2, 2, cin, cout)) * 0.01, jnp.bfloat16
             )
 
-            @jax.jit
             def convt(x, w):
                 return jax.lax.conv_transpose(
                     x, w, (2, 2, 2), "VALID",
                     dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
                 )
 
-            t, _ = timed(lambda: convt(x, w), steps=args.steps)
+            t = timed_chained(convt, x, w, iters=20)
             fl = batch * 2 * (sp ** 3) * cin * cout * 8
             micro.append(
                 {
@@ -212,6 +242,9 @@ def main():
         report["sum_fwd_conv_ms"] = round(fwd_conv_ms, 1)
 
     print(json.dumps(report, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
 
 
 if __name__ == "__main__":
