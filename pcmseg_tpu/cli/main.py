@@ -100,6 +100,42 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--window_blend", choices=["gaussian", "uniform"],
                     default=None)
 
+    # serve: resident predictor over a directory of cases
+    ps = sub.add_parser(
+        "serve",
+        help="long-running predictor: segment cases as they appear",
+    )
+    _add_common_flags(ps)
+    ps.add_argument("--model_path", required=True)
+    ps.add_argument("--input_root", required=True,
+                    help="root dir; each subdir is one case (per-modality "
+                         "subdirs inside)")
+    ps.add_argument("--output_dir", default="predictions")
+    ps.add_argument("--output_name", default="segmentation.nii.gz")
+    ps.add_argument("--once", action="store_true",
+                    help="process pending cases once and exit")
+    ps.add_argument("--poll_interval", type=float, default=5.0)
+    ps.add_argument("--max_polls", type=int, default=None)
+    ps.add_argument("--stop_file", default=None,
+                    help="exit when this file appears")
+    ps.add_argument("--sliding_window", action="store_true")
+    ps.add_argument("--window_size", type=int, nargs=3, default=None)
+    ps.add_argument("--window_overlap", type=float, default=None)
+    ps.add_argument("--window_blend", choices=["gaussian", "uniform"],
+                    default=None)
+    ps.add_argument("--threshold", type=float, default=None)
+
+    # warm-cache: populate the preprocessing cache up front
+    pw = sub.add_parser(
+        "warm-cache",
+        help="decode+resample every case once into the .npz cache",
+    )
+    _add_common_flags(pw)
+    pw.add_argument("--num_threads", type=int, default=4)
+    pw.add_argument("--process_index", type=int, default=0,
+                    help="this host's shard index (multi-host warming)")
+    pw.add_argument("--process_count", type=int, default=1)
+
     return parser
 
 
@@ -217,6 +253,53 @@ def cmd_predict(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from pcmseg_tpu.infer.serve import PredictionServer
+
+    config, explicit = _config_from_args(args, with_explicit=True)
+    server = PredictionServer(
+        config,
+        args.model_path,
+        input_root=args.input_root,
+        output_dir=args.output_dir,
+        output_name=args.output_name,
+        explicit=explicit,
+    )
+    if args.once:
+        stats = server.run_once()
+    else:
+        stats = server.run(
+            poll_interval=args.poll_interval,
+            max_polls=args.max_polls,
+            stop_file=args.stop_file,
+        )
+    print(
+        f"served: {stats['done']} done, {stats['failed']} failed"
+    )
+    return 0 if stats["failed"] == 0 else 1
+
+
+def cmd_warm_cache(args) -> int:
+    from pcmseg_tpu.data.warm_cache import warm_cache
+
+    config = _config_from_args(args)
+    if not config.cache_dir:
+        print("warm-cache requires --cache_dir", file=sys.stderr)
+        return 2
+    summary = warm_cache(
+        config,
+        num_threads=args.num_threads,
+        process_index=args.process_index,
+        process_count=args.process_count,
+    )
+    print(
+        f"warmed {summary['warmed']}, already cached "
+        f"{summary['already_cached']}, failed {summary['failed']} "
+        f"({summary['seconds']}s)"
+    )
+    return 0 if not summary["failed"] else 1
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     import os
 
@@ -238,6 +321,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         "train": cmd_train,
         "validate": cmd_validate,
         "predict": cmd_predict,
+        "serve": cmd_serve,
+        "warm-cache": cmd_warm_cache,
     }
     try:
         return handlers[args.command](args)

@@ -1,0 +1,134 @@
+"""Long-running segmentation server over a directory of cases (ROADMAP #10).
+
+The reference's predict path (script/predict.py) loads the model and
+compiles per invocation; this server loads the checkpoint ONCE, keeps the
+folded/compiled predict program resident (the Predictor caches one jitted
+program per volume shape), and streams cases through it:
+
+  * batch mode (``run_once``): segment every unprocessed case directory
+    under ``input_root`` and exit;
+  * watch mode (``run``): poll ``input_root`` for newly arrived cases and
+    segment them as they appear — a minimal TPU serving loop with no
+    framework dependencies.
+
+A case is any subdirectory of ``input_root`` containing at least one
+modality subdirectory (the same per-modality layout script/predict.py:29-67
+consumes). Completed cases are skipped by their existing output file, so
+the server is restart-safe and idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional
+
+from pcmseg_tpu.core.config import Config
+from pcmseg_tpu.infer.predict import Predictor, _find_volume_file
+from pcmseg_tpu.utils.logging import get_logger
+
+
+class PredictionServer:
+    """Resident Predictor + directory polling loop."""
+
+    def __init__(
+        self,
+        config: Config,
+        checkpoint_path: str,
+        input_root: str,
+        output_dir: str,
+        output_name: str = "segmentation.nii.gz",
+        explicit=(),
+    ):
+        self.config = config
+        self.input_root = input_root
+        self.output_dir = output_dir
+        self.output_name = output_name
+        self.log = get_logger("pcmseg.serve")
+        self.predictor = Predictor(config, checkpoint_path, explicit=explicit)
+        self.stats = {"done": 0, "failed": 0, "skipped": 0}
+
+    # -- discovery -------------------------------------------------------------
+
+    def _is_case_dir(self, path: str) -> bool:
+        if not os.path.isdir(path):
+            return False
+        return any(
+            _find_volume_file(os.path.join(path, m))
+            for m in self.config.modalities
+        )
+
+    def _output_path(self, case_id: str) -> str:
+        return os.path.join(self.output_dir, case_id, self.output_name)
+
+    def pending_cases(self) -> List[str]:
+        """Unprocessed case ids under input_root, sorted for determinism."""
+        if not os.path.isdir(self.input_root):
+            return []
+        out = []
+        for name in sorted(os.listdir(self.input_root)):
+            if not self._is_case_dir(os.path.join(self.input_root, name)):
+                continue
+            if os.path.exists(self._output_path(name)):
+                continue
+            out.append(name)
+        return out
+
+    # -- serving ---------------------------------------------------------------
+
+    def process_case(self, case_id: str) -> Optional[str]:
+        case_dir = os.path.join(self.input_root, case_id)
+        t0 = time.perf_counter()
+        try:
+            out = self.predictor.predict_and_save(
+                case_dir, self._output_path(case_id)
+            )
+        except Exception as e:  # one bad case must not kill the server
+            self.stats["failed"] += 1
+            self.log.error("case %s failed: %s", case_id, e)
+            return None
+        self.stats["done"] += 1
+        self.log.info(
+            "case %s → %s (%.2fs)", case_id, out, time.perf_counter() - t0
+        )
+        return out
+
+    def run_once(self) -> Dict[str, int]:
+        """Segment every pending case once; returns the running stats."""
+        for case_id in self.pending_cases():
+            self.process_case(case_id)
+        return dict(self.stats)
+
+    def run(
+        self,
+        poll_interval: float = 5.0,
+        max_polls: Optional[int] = None,
+        stop_file: Optional[str] = None,
+    ) -> Dict[str, int]:
+        """Watch input_root until stopped.
+
+        Stops when ``stop_file`` appears (operational kill switch) or after
+        ``max_polls`` polling rounds (bounded runs / tests); otherwise loops
+        forever on KeyboardInterrupt-able sleep.
+        """
+        polls = 0
+        self.log.info(
+            "serving %s → %s (poll %.1fs)",
+            self.input_root,
+            self.output_dir,
+            poll_interval,
+        )
+        while True:
+            self.run_once()
+            polls += 1
+            if stop_file and os.path.exists(stop_file):
+                self.log.info("stop file %s present; exiting", stop_file)
+                break
+            if max_polls is not None and polls >= max_polls:
+                break
+            try:
+                time.sleep(poll_interval)
+            except KeyboardInterrupt:
+                self.log.info("interrupted; exiting")
+                break
+        return dict(self.stats)
