@@ -133,6 +133,10 @@ class Config:
     compute_dtype: str = "bfloat16"  # activations/conv compute
     param_dtype: str = "float32"  # params + BN stats stay fp32
     remat: bool = True  # rematerialize DoubleConv blocks
+    # training-path conv lowering: 'auto' picks the im2col matmul form where
+    # its measured fwd+bwd beats XLA's native conv (ops/im2col.py), 'lax'
+    # forces nn.Conv everywhere, 'im2col' forces the matmul form
+    conv_lowering: str = "auto"
     data_parallel: int = -1  # -1 = all devices on the 'data' mesh axis
     spatial_parallel: int = 1  # shard the D spatial axis ('spatial' mesh axis)
     tensor_parallel: int = 1  # shard conv output channels ('model' mesh axis)
@@ -171,6 +175,11 @@ class Config:
         if self.norm_layer not in NORM_LAYERS:
             raise ValueError(
                 f"norm_layer={self.norm_layer!r}; expected one of {NORM_LAYERS}"
+            )
+        if self.conv_lowering not in ("auto", "lax", "im2col"):
+            raise ValueError(
+                f"conv_lowering={self.conv_lowering!r}; "
+                "expected 'auto', 'lax', or 'im2col'"
             )
         if self.data_type not in ("BPH", "PCA"):
             raise ValueError(f"data_type={self.data_type!r}; expected 'BPH' or 'PCA'")

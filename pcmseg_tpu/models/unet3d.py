@@ -73,6 +73,36 @@ class PallasConv3x3(nn.Module):
         )
 
 
+class Im2colConv3x3(nn.Module):
+    """3³ SAME conv lowered as one im2col matmul (ops/im2col.py).
+
+    Parameter names/shapes are identical to nn.Conv ('kernel', 'bias') so
+    checkpoints are interchangeable, and the math is the same dot — bf16
+    outputs are bitwise-equal to the lax lowering (test-gated). Used on the
+    training path where XLA's native conv backward runs at 8-20% MFU at
+    these shapes; the im2col backward is 1.2-3.2× faster (BENCH.md).
+    """
+
+    features: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from pcmseg_tpu.ops.im2col import conv3x3_im2col
+
+        ci = x.shape[-1]
+        kernel = self.param(
+            "kernel", kaiming_fan_out, (3, 3, 3, ci, self.features),
+            self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+        )
+        y = conv3x3_im2col(x.astype(self.dtype), kernel.astype(self.dtype))
+        return y + bias.astype(self.dtype)
+
+
 class DoubleConv3D(nn.Module):
     """(Conv3d 3³ pad 1 → Norm → ReLU) × 2."""
 
@@ -82,9 +112,12 @@ class DoubleConv3D(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     use_pallas: bool = False
+    conv_lowering: str = "auto"  # auto | lax | im2col (training path)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from pcmseg_tpu.ops.im2col import should_use_im2col
+
         for i in range(2):
             # Pallas fused conv+bias+ReLU on the folded (norm-free) serving
             # path; Ci must be lane-friendly (the 5-channel input conv and
@@ -103,16 +136,31 @@ class DoubleConv3D(nn.Module):
                     name=f"conv{i}",
                 )(x)
                 continue
-            x = nn.Conv(
-                self.features,
-                kernel_size=(3, 3, 3),
-                padding=1,
-                use_bias=True,
-                kernel_init=kaiming_fan_out,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name=f"conv{i}",
-            )(x)
+            # training-path lowering choice (static shapes → traced once):
+            # im2col matmul where its measured fwd+bwd beats XLA's conv
+            use_i2c = self.conv_lowering == "im2col" or (
+                self.conv_lowering == "auto"
+                and train
+                and should_use_im2col(x.shape[1:4], x.shape[-1], self.features)
+            )
+            if use_i2c:
+                x = Im2colConv3x3(
+                    self.features,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name=f"conv{i}",
+                )(x)
+            else:
+                x = nn.Conv(
+                    self.features,
+                    kernel_size=(3, 3, 3),
+                    padding=1,
+                    use_bias=True,
+                    kernel_init=kaiming_fan_out,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name=f"conv{i}",
+                )(x)
             if self.norm_layer == "batch":
                 x = TPUBatchNorm(
                     use_running_average=not train,
@@ -204,6 +252,7 @@ class Down3D(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     use_pallas: bool = False
+    conv_lowering: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -225,6 +274,7 @@ class Up3D(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     use_pallas: bool = False
+    conv_lowering: str = "auto"
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
@@ -256,6 +306,7 @@ def _double_conv(owner, x, train: bool):
         dtype=owner.dtype,
         param_dtype=owner.param_dtype,
         use_pallas=owner.use_pallas,
+        conv_lowering=owner.conv_lowering,
         name="double_conv",
     )(x, train)
 
@@ -280,6 +331,7 @@ class UNet3D(nn.Module):
     param_dtype: Any = jnp.float32
     remat: bool = True
     use_pallas: bool = False  # fused Pallas convs on the folded serving path
+    conv_lowering: str = "auto"  # training-path conv lowering (ops/im2col.py)
 
     def _block_kwargs(self):
         return dict(
@@ -288,6 +340,7 @@ class UNet3D(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             use_pallas=self.use_pallas,
+            conv_lowering=self.conv_lowering,
         )
 
     @nn.compact
@@ -354,6 +407,7 @@ class UNet3D(nn.Module):
             dtype=jnp.dtype(config.compute_dtype),
             param_dtype=jnp.dtype(config.param_dtype),
             remat=config.remat,
+            conv_lowering=getattr(config, "conv_lowering", "auto"),
         )
 
     def init_variables(self, rng, input_shape: Tuple[int, ...] = None):
