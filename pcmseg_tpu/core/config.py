@@ -154,6 +154,11 @@ class Config:
     window_size: Tuple[int, int, int] = (128, 128, 128)
     window_overlap: float = 0.5
     window_blend: str = "gaussian"  # 'gaussian' (seam-free) | 'uniform'
+    # tiles per device batch in sliding-window inference: batching feeds the
+    # MXU bigger matmuls and shrinks the compiled program (one network
+    # instance per GROUP of tiles, not per tile). Measured at 160³/128³w:
+    # 0.503 (1) / 0.486 (2) / 0.479 (4) / 0.495 (8) s/vol — BENCH.md.
+    window_tile_batch: int = 4
 
     def __post_init__(self):
         self.modalities = tuple(self.modalities)

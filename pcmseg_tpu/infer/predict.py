@@ -180,6 +180,7 @@ class Predictor:
                     window_size=ws,
                     overlap=self.config.window_overlap,
                     blend=self.config.window_blend,
+                    tile_batch=self.config.window_tile_batch,
                 )
             return np.asarray(self._sw_fns[key](self._variables, image))
         return np.asarray(self._predict(image[None]))[0]

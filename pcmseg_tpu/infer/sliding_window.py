@@ -131,15 +131,21 @@ def make_device_sliding_window(
     window_size: Sequence[int] = (128, 128, 128),
     overlap: float = 0.5,
     blend: str = "gaussian",
+    tile_batch: int = 1,
 ):
     """Build a fully on-device tiled predictor: one jit, zero per-tile D2H.
 
     The host-loop variant transfers every tile's probabilities back for
     blending — fine locally, but on tunneled TPU backends D2H dominates
     (measured 12.3 s vs ~0.5 s of compute for a 160³ volume). Here the
-    tile loop is unrolled at trace time (static tile grid), accumulation
-    and count-normalization happen on device, and exactly one array comes
-    back.
+    tile grid is unrolled at trace time with STATIC start offsets —
+    driving it from a ``lax.scan`` over traced offsets measured 6× slower
+    (3.0 vs 0.48 s/vol at 160³): dynamic offsets defeat XLA's in-place
+    updates and scheduling. ``tile_batch`` groups tiles through the net
+    together (static stacked slices), which shrinks the number of network
+    instances in the program (compile time) and feeds the MXU bigger
+    batches. Accumulation + weight-normalization happen on device; exactly
+    one array comes back.
 
     Returns ``run(variables, image) -> (D, H, W, n_out) probabilities``
     (jitted; image may be smaller than one window — it is padded and the
@@ -150,6 +156,8 @@ def make_device_sliding_window(
 
     if not 0.0 <= overlap < 1.0:
         raise ValueError(f"overlap must be in [0, 1), got {overlap}")
+    if tile_batch < 1:
+        raise ValueError(f"tile_batch must be >= 1, got {tile_batch}")
     d, h, w = (int(s) for s in volume_shape)
     wd, wh, ww = (int(x) for x in window_size)
     pd, ph, pw = max(d, wd), max(h, wh), max(w, ww)
@@ -166,6 +174,9 @@ def make_device_sliding_window(
     for z0, y0, x0 in starts:
         counts[z0 : z0 + wd, y0 : y0 + wh, x0 : x0 + ww, :] += weight
 
+    b = min(tile_batch, len(starts))
+    groups = [starts[i : i + b] for i in range(0, len(starts), b)]
+
     @jax.jit
     def run(variables, image):
         if image.shape != (d, h, w, n_channels):
@@ -177,17 +188,22 @@ def make_device_sliding_window(
         )
         accum = jnp.zeros((pd, ph, pw, n_out), jnp.float32)
         w_tile = jnp.asarray(weight)
-        for z0, y0, x0 in starts:
-            tile = jax.lax.dynamic_slice(
-                padded, (z0, y0, x0, 0), (wd, wh, ww, n_channels)
+        for group in groups:
+            tiles = jnp.stack(
+                [
+                    padded[z0 : z0 + wd, y0 : y0 + wh, x0 : x0 + ww, :]
+                    for z0, y0, x0 in group
+                ]
             )
-            probs = apply_fn(variables, tile[None])[0].astype(jnp.float32)
-            window = jax.lax.dynamic_slice(
-                accum, (z0, y0, x0, 0), (wd, wh, ww, n_out)
-            )
-            accum = jax.lax.dynamic_update_slice(
-                accum, window + probs * w_tile, (z0, y0, x0, 0)
-            )
+            probs = apply_fn(variables, tiles).astype(jnp.float32)
+            # overlapping windows scatter-add serially (static offsets)
+            for j, (z0, y0, x0) in enumerate(group):
+                window = jax.lax.dynamic_slice(
+                    accum, (z0, y0, x0, 0), (wd, wh, ww, n_out)
+                )
+                accum = jax.lax.dynamic_update_slice(
+                    accum, window + probs[j] * w_tile, (z0, y0, x0, 0)
+                )
         out = accum / jnp.maximum(jnp.asarray(counts), 1e-8)
         return out[:d, :h, :w, :]
 

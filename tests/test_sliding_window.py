@@ -74,8 +74,10 @@ def test_zero_overlap_no_double_counting():
     np.testing.assert_allclose(out[..., 0], img[..., 0], atol=1e-6)
 
 
-def test_device_sliding_window_matches_host(rng):
-    """On-device tiled predictor == host-loop blending (identity model)."""
+@pytest.mark.parametrize("tile_batch", [1, 3, 4, 64])
+def test_device_sliding_window_matches_host(rng, tile_batch):
+    """On-device tiled predictor == host-loop blending (identity model),
+    for every tile-batching factor incl. ragged (3) and over-large (64)."""
     from pcmseg_tpu.infer.sliding_window import make_device_sliding_window
 
     img = rng.random((20, 24, 28, 5)).astype(np.float32)
@@ -85,7 +87,7 @@ def test_device_sliding_window_matches_host(rng):
 
     run = make_device_sliding_window(
         apply_fn, img.shape[:3], n_channels=5, n_out=1,
-        window_size=(8, 8, 8), overlap=0.5,
+        window_size=(8, 8, 8), overlap=0.5, tile_batch=tile_batch,
     )
     got = np.asarray(run({}, img))
     want = sliding_window_predict(
