@@ -172,6 +172,13 @@ class Predictor:
 
             key = image.shape
             if key not in self._sw_fns:
+                # on a multi-chip host, shard the tile batch over the
+                # 'data' mesh axis — tiles are embarrassingly parallel
+                mesh = None
+                if jax.device_count() > 1:
+                    from pcmseg_tpu.parallel.sharding import make_mesh
+
+                    mesh = make_mesh(data_parallel=-1)
                 self._sw_fns[key] = make_device_sliding_window(
                     self._apply,
                     image.shape[:3],
@@ -181,6 +188,7 @@ class Predictor:
                     overlap=self.config.window_overlap,
                     blend=self.config.window_blend,
                     tile_batch=self.config.window_tile_batch,
+                    mesh=mesh,
                 )
             return np.asarray(self._sw_fns[key](self._variables, image))
         return np.asarray(self._predict(image[None]))[0]

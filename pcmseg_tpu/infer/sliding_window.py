@@ -132,6 +132,7 @@ def make_device_sliding_window(
     overlap: float = 0.5,
     blend: str = "gaussian",
     tile_batch: int = 1,
+    mesh=None,
 ):
     """Build a fully on-device tiled predictor: one jit, zero per-tile D2H.
 
@@ -147,6 +148,13 @@ def make_device_sliding_window(
     batches. Accumulation + weight-normalization happen on device; exactly
     one array comes back.
 
+    With ``mesh`` (a ``jax.sharding.Mesh`` with a 'data' axis), the tile
+    batch is sharded over the mesh's data axis — tiles are embarrassingly
+    parallel, so sliding-window serving scales across chips with zero
+    collectives beyond the final gather: each device runs the full net on
+    its shard of the tile group. ``tile_batch`` is then rounded up to a
+    multiple of the data-axis size.
+
     Returns ``run(variables, image) -> (D, H, W, n_out) probabilities``
     (jitted; image may be smaller than one window — it is padded and the
     result cropped).
@@ -158,6 +166,13 @@ def make_device_sliding_window(
         raise ValueError(f"overlap must be in [0, 1), got {overlap}")
     if tile_batch < 1:
         raise ValueError(f"tile_batch must be >= 1, got {tile_batch}")
+    n_data = 1
+    if mesh is not None:
+        from pcmseg_tpu.parallel.sharding import DATA_AXIS
+
+        n_data = mesh.shape[DATA_AXIS]
+        tile_batch = max(tile_batch, n_data)
+        tile_batch += (-tile_batch) % n_data
     d, h, w = (int(s) for s in volume_shape)
     wd, wh, ww = (int(x) for x in window_size)
     pd, ph, pw = max(d, wd), max(h, wh), max(w, ww)
@@ -174,8 +189,19 @@ def make_device_sliding_window(
     for z0, y0, x0 in starts:
         counts[z0 : z0 + wd, y0 : y0 + wh, x0 : x0 + ww, :] += weight
 
-    b = min(tile_batch, len(starts))
-    groups = [starts[i : i + b] for i in range(0, len(starts), b)]
+    if mesh is not None:
+        # every group must be exactly b tiles (b % n_data == 0) so the
+        # batch axis shards evenly; pad with repeats of the first start,
+        # skipped at scatter time (static offsets → free to drop)
+        b = tile_batch
+        n_pad = (-len(starts)) % b
+        padded_starts = [(s, True) for s in starts] + [
+            (starts[0], False)
+        ] * n_pad
+    else:
+        b = min(tile_batch, len(starts))
+        padded_starts = [(s, True) for s in starts]
+    groups = [padded_starts[i : i + b] for i in range(0, len(padded_starts), b)]
 
     @jax.jit
     def run(variables, image):
@@ -192,12 +218,23 @@ def make_device_sliding_window(
             tiles = jnp.stack(
                 [
                     padded[z0 : z0 + wd, y0 : y0 + wh, x0 : x0 + ww, :]
-                    for z0, y0, x0 in group
+                    for (z0, y0, x0), _ in group
                 ]
             )
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                from pcmseg_tpu.parallel.sharding import DATA_AXIS
+
+                tiles = jax.lax.with_sharding_constraint(
+                    tiles, NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+                )
             probs = apply_fn(variables, tiles).astype(jnp.float32)
-            # overlapping windows scatter-add serially (static offsets)
-            for j, (z0, y0, x0) in enumerate(group):
+            # overlapping windows scatter-add serially (static offsets);
+            # padding tiles are simply skipped
+            for j, ((z0, y0, x0), real) in enumerate(group):
+                if not real:
+                    continue
                 window = jax.lax.dynamic_slice(
                     accum, (z0, y0, x0, 0), (wd, wh, ww, n_out)
                 )

@@ -165,3 +165,28 @@ def test_device_gaussian_matches_host(rng):
         window_size=(16, 16, 16), overlap=0.5, blend="gaussian",
     )
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_device_sliding_window_sharded_over_mesh(rng):
+    """Tiles sharded over an 8-device 'data' mesh == host-loop blending.
+
+    Sliding-window serving scales across chips with no collectives beyond
+    the output gather: each device runs the full net on its tile shard.
+    """
+    import jax
+
+    from pcmseg_tpu.infer.sliding_window import make_device_sliding_window
+    from pcmseg_tpu.parallel.sharding import make_mesh
+
+    mesh = make_mesh(data_parallel=8)
+    img = rng.random((20, 24, 28, 5)).astype(np.float32)
+
+    run = make_device_sliding_window(
+        lambda v, x: x[..., :1], img.shape[:3], 5, 1,
+        window_size=(8, 8, 8), overlap=0.5, tile_batch=3, mesh=mesh,
+    )
+    got = np.asarray(run({}, img))
+    want = sliding_window_predict(
+        lambda x: x[..., :1], img, window_size=(8, 8, 8), overlap=0.5
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)
