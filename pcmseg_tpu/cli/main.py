@@ -99,6 +99,8 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--window_overlap", type=float, default=None)
     pp.add_argument("--window_blend", choices=["gaussian", "uniform"],
                     default=None)
+    pp.add_argument("--tta", action="store_true",
+                    help="8-way flip-ensemble test-time augmentation")
 
     # serve: resident predictor over a directory of cases
     ps = sub.add_parser(
@@ -124,6 +126,8 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--window_blend", choices=["gaussian", "uniform"],
                     default=None)
     ps.add_argument("--threshold", type=float, default=None)
+    ps.add_argument("--tta", action="store_true",
+                    help="8-way flip-ensemble test-time augmentation")
 
     # warm-cache: populate the preprocessing cache up front
     pw = sub.add_parser(
@@ -182,6 +186,8 @@ def _config_from_args(args, preset: str = "standard", with_explicit: bool = Fals
         overrides["resume"] = True
     if getattr(args, "sliding_window", False):
         overrides["sliding_window"] = True
+    if getattr(args, "tta", False):
+        overrides["tta"] = True
     config = get_config(preset, **overrides)
     if with_explicit:
         return config, frozenset(overrides)

@@ -150,6 +150,9 @@ class Config:
     # inside the full model XLA's cross-op fusion wins (measured 61 vs
     # 103 ms/vol at 128^3) — see ops/pallas/conv3d.py.
     pallas_inference: bool = False
+    # test-time augmentation: 8-way axis-flip mirror ensemble at predict
+    # time (8× inference compute for better Dice) — infer/tta.py
+    tta: bool = False
     sliding_window: bool = False  # full-volume overlap-tiled inference
     window_size: Tuple[int, int, int] = (128, 128, 128)
     window_overlap: float = 0.5

@@ -144,9 +144,16 @@ class Predictor:
         # variables as explicit args (closures would inline them into the
         # compile payload); device_put once
         self._variables = jax.device_put(variables)
-        self._apply = jax.jit(
-            lambda vars_, x: serve_model.apply(vars_, x, method=UNet3D.predict)
+        apply = lambda vars_, x: serve_model.apply(  # noqa: E731
+            vars_, x, method=UNet3D.predict
         )
+        if config.tta:
+            # flip-ensemble TTA (infer/tta.py): composes with the
+            # sliding-window tiling below — each tile is ensembled in place
+            from pcmseg_tpu.infer.tta import make_tta_apply
+
+            apply = make_tta_apply(apply)
+        self._apply = jax.jit(apply)
         self._predict = lambda x: self._apply(self._variables, x)
         self._sw_fns = {}  # per-volume-shape device sliding-window programs
 

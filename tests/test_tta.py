@@ -1,0 +1,111 @@
+"""Flip-ensemble TTA (infer/tta.py): exact ensemble math, invariance,
+Predictor/CLI wiring."""
+
+import numpy as np
+import pytest
+
+from pcmseg_tpu.infer.tta import FLIP_SETS, make_tta_apply
+
+
+def test_flip_sets_enumerate_all_eight():
+    assert len(FLIP_SETS) == 8
+    assert () in FLIP_SETS and (1, 2, 3) in FLIP_SETS
+    assert len(set(FLIP_SETS)) == 8
+
+
+def test_tta_matches_numpy_reference():
+    """Ensemble of an orientation-SENSITIVE model == the explicit
+    flip/unflip average computed in numpy."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    x = rng.random((2, 4, 5, 6, 3)).astype(np.float32)
+    ramp = np.arange(4, dtype=np.float32).reshape(1, 4, 1, 1, 1)
+
+    def apply_fn(variables, t):  # depends on absolute D position
+        return t[..., :1] * jnp.asarray(ramp)
+
+    got = np.asarray(make_tta_apply(apply_fn)({}, jnp.asarray(x)))
+
+    acc = np.zeros_like(x[..., :1])
+    for axes in FLIP_SETS:
+        xf = np.flip(x, axes) if axes else x
+        p = xf[..., :1] * ramp
+        acc += np.flip(p, axes) if axes else p
+    np.testing.assert_allclose(got, acc / 8.0, rtol=1e-6)
+
+
+def test_tta_is_identity_for_equivariant_model():
+    """A flip-equivariant model (identity) passes through unchanged."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    x = rng.random((1, 6, 6, 6, 2)).astype(np.float32)
+    tta = make_tta_apply(lambda v, t: t[..., :1])
+    np.testing.assert_allclose(
+        np.asarray(tta({}, jnp.asarray(x))), x[..., :1], rtol=1e-6
+    )
+
+
+def test_tta_output_is_flip_invariant():
+    """TTA of any model is exactly invariant to flipping the input."""
+    import jax
+    import jax.numpy as jnp
+
+    from pcmseg_tpu.models import UNet3D
+
+    model = UNet3D(n_modalities=2, n_classes=1, base_features=4,
+                   norm_layer="group", dtype=jnp.float32,
+                   param_dtype=jnp.float32, remat=False)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 2)), jnp.float32)
+    v = model.init(jax.random.key(0), x, train=False)
+    tta = jax.jit(make_tta_apply(
+        lambda vars_, t: model.apply(vars_, t, method=UNet3D.predict)
+    ))
+    base = np.asarray(tta(v, x))
+    flipped = np.asarray(tta(v, jnp.flip(x, (1,))))
+    np.testing.assert_allclose(np.flip(flipped, (1,)), base, atol=1e-5)
+
+
+def test_predictor_tta_config(tmp_path):
+    """Predictor with tta=True runs end-to-end and stays in [0, 1]."""
+    from test_e2e import tiny_config
+
+    from pcmseg_tpu.data.synthetic import make_synthetic_dataset
+    from pcmseg_tpu.infer.predict import Predictor
+    from pcmseg_tpu.train.trainer import Trainer
+
+    root = str(tmp_path / "data")
+    make_synthetic_dataset(root, n_cases=4, shape=(18, 18, 18), seed=5)
+    save_dir = str(tmp_path / "ckpt")
+    config = tiny_config(root, save_dir, num_epochs=1, validation=False)
+    Trainer(config).train()
+
+    rng = np.random.default_rng(3)
+    img = rng.random((16, 16, 16, 5)).astype(np.float32)
+    import os
+
+    plain = Predictor(config, os.path.join(save_dir, "best"))
+    ttap = Predictor(
+        config.replace(tta=True), os.path.join(save_dir, "best")
+    )
+    p0 = plain.predict_probs(img)
+    p1 = ttap.predict_probs(img)
+    assert p1.shape == p0.shape
+    assert np.all(p1 >= 0) and np.all(p1 <= 1)
+    # the ensemble genuinely differs from the single orientation
+    assert not np.allclose(p0, p1)
+
+
+def test_cli_tta_flag_parses():
+    from pcmseg_tpu.cli.main import build_parser
+
+    args = build_parser().parse_args(
+        ["predict", "--model_path", "m", "--input_dir", "d", "--tta"]
+    )
+    assert args.tta is True
+    args = build_parser().parse_args(
+        ["serve", "--model_path", "m", "--input_root", "r", "--tta"]
+    )
+    assert args.tta is True
