@@ -120,6 +120,10 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--max_polls", type=int, default=None)
     ps.add_argument("--stop_file", default=None,
                     help="exit when this file appears")
+    ps.add_argument("--min_age", type=float, default=30.0,
+                    help="serve an incomplete case only after its files "
+                         "have been quiescent this many seconds (guards "
+                         "against mid-upload zero-fill; 0 disables)")
     ps.add_argument("--sliding_window", action="store_true")
     ps.add_argument("--window_size", type=int, nargs=3, default=None)
     ps.add_argument("--window_overlap", type=float, default=None)
@@ -270,6 +274,7 @@ def cmd_serve(args) -> int:
         output_dir=args.output_dir,
         output_name=args.output_name,
         explicit=explicit,
+        min_age=args.min_age,
     )
     if args.once:
         stats = server.run_once()

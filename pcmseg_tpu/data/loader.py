@@ -157,7 +157,15 @@ class DataLoader:
 
         def realize(b: List[int]) -> dict:
             picked, weights = plan(b)
-            return _collate([load_one(i) for i in picked], weights)
+            # padded tails cycle real indices — decode each distinct index
+            # once and reuse the array, not one full decode per repeat
+            memo: dict = {}
+            samples = []
+            for i in picked:
+                if i not in memo:
+                    memo[i] = load_one(i)
+                samples.append(memo[i])
+            return _collate(samples, weights)
 
         if self.num_workers <= 1:
             for b in batches:

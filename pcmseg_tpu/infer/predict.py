@@ -226,8 +226,22 @@ class Predictor:
         out = Volume(mask).copy_information(
             reference if mask.shape == reference.shape else Volume(mask)
         )
-        os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
-        write_volume(out, output_path)
+        output_path = os.path.abspath(output_path)
+        out_dir = os.path.dirname(output_path)
+        os.makedirs(out_dir, exist_ok=True)
+        # atomic: the output's existence doubles as the serve loop's
+        # completion marker, so a crash mid-write must not leave a
+        # truncated file posing as done. The tmp name keeps the original
+        # basename as its suffix so write_volume's format detection works.
+        tmp_path = os.path.join(
+            out_dir, f".tmp-{os.getpid()}-{os.path.basename(output_path)}"
+        )
+        try:
+            write_volume(out, tmp_path)
+            os.replace(tmp_path, output_path)
+        finally:
+            if os.path.exists(tmp_path):
+                os.remove(tmp_path)
         self.log.info("prediction written to %s", output_path)
         return output_path
 

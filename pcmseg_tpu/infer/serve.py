@@ -13,8 +13,12 @@ program per volume shape), and streams cases through it:
 
 A case is any subdirectory of ``input_root`` containing at least one
 modality subdirectory (the same per-modality layout script/predict.py:29-67
-consumes). Completed cases are skipped by their existing output file, so
-the server is restart-safe and idempotent.
+consumes). A case becomes *ready* only when every configured modality is
+present, OR when its directory has been quiescent for ``min_age`` seconds
+(so partially-uploaded cases aren't zero-filled mid-copy and then marked
+done forever). Completed cases are skipped by their existing output file
+— written atomically (tmp + rename), so a crash mid-write can't leave a
+truncated output posing as a completion marker.
 """
 
 from __future__ import annotations
@@ -39,13 +43,19 @@ class PredictionServer:
         output_dir: str,
         output_name: str = "segmentation.nii.gz",
         explicit=(),
+        min_age: float = 30.0,
     ):
-        self.config = config
         self.input_root = input_root
         self.output_dir = output_dir
         self.output_name = output_name
         self.log = get_logger("pcmseg.serve")
         self.predictor = Predictor(config, checkpoint_path, explicit=explicit)
+        # the Predictor may have adopted the checkpoint's own config
+        # (modalities, normalization, ...) from meta.json — discovery must
+        # use the SAME view, or the server would poll for modality subdirs
+        # the checkpoint doesn't use and idle forever
+        self.config = self.predictor.config
+        self.min_age = min_age
         self.stats = {"done": 0, "failed": 0, "skipped": 0}
 
     # -- discovery -------------------------------------------------------------
@@ -58,18 +68,49 @@ class PredictionServer:
             for m in self.config.modalities
         )
 
+    def _is_ready(self, path: str) -> bool:
+        """All modalities present, or the dir quiescent for min_age seconds.
+
+        Guards against serving a case that is still being copied in: with
+        ``missing_strategy='zero_fill'`` a half-uploaded case would get a
+        silently degraded segmentation and the output marker would prevent
+        any retry once the rest arrived.
+        """
+        found = [
+            _find_volume_file(os.path.join(path, m))
+            for m in self.config.modalities
+        ]
+        if all(found):
+            return True
+        if self.min_age <= 0:
+            return True
+        newest = 0.0
+        for base, _, files in os.walk(path):
+            for f in files:
+                try:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(base, f))
+                    )
+                except OSError:
+                    pass
+        return newest > 0 and (time.time() - newest) >= self.min_age
+
     def _output_path(self, case_id: str) -> str:
         return os.path.join(self.output_dir, case_id, self.output_name)
 
     def pending_cases(self) -> List[str]:
-        """Unprocessed case ids under input_root, sorted for determinism."""
+        """Unprocessed, ready case ids under input_root (sorted)."""
         if not os.path.isdir(self.input_root):
             return []
         out = []
         for name in sorted(os.listdir(self.input_root)):
-            if not self._is_case_dir(os.path.join(self.input_root, name)):
+            case_dir = os.path.join(self.input_root, name)
+            if not self._is_case_dir(case_dir):
                 continue
             if os.path.exists(self._output_path(name)):
+                continue
+            if not self._is_ready(case_dir):
+                self.log.info("case %s incomplete; waiting for quiescence", name)
                 continue
             out.append(name)
         return out

@@ -189,18 +189,14 @@ def make_device_sliding_window(
     for z0, y0, x0 in starts:
         counts[z0 : z0 + wd, y0 : y0 + wh, x0 : x0 + ww, :] += weight
 
-    if mesh is not None:
-        # every group must be exactly b tiles (b % n_data == 0) so the
-        # batch axis shards evenly; pad with repeats of the first start,
-        # skipped at scatter time (static offsets → free to drop)
-        b = tile_batch
-        n_pad = (-len(starts)) % b
-        padded_starts = [(s, True) for s in starts] + [
-            (starts[0], False)
-        ] * n_pad
-    else:
-        b = min(tile_batch, len(starts))
-        padded_starts = [(s, True) for s in starts]
+    # every group is exactly b tiles: a ragged last group would trace the
+    # network at a SECOND batch size (defeating the compile-size win
+    # batching exists for), and under a mesh the batch axis must divide
+    # n_data. Pad with repeats of the first start, skipped at scatter time
+    # (static offsets → the skip is free).
+    b = tile_batch if mesh is not None else min(tile_batch, len(starts))
+    n_pad = (-len(starts)) % b
+    padded_starts = [(s, True) for s in starts] + [(starts[0], False)] * n_pad
     groups = [padded_starts[i : i + b] for i in range(0, len(padded_starts), b)]
 
     @jax.jit

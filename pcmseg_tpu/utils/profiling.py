@@ -54,22 +54,31 @@ class StepTraceController:
         self.n_steps = max(1, n_steps)
         self._active = False
         self._done = log_dir is None
+        self._seen = 0  # GLOBAL steps observed, across epochs
 
     def on_step(self, step_idx: int) -> None:
-        """Call at the TOP of each step with its 0-based index."""
+        """Call at the TOP of each step. The trigger counts steps globally
+        (across epochs) so --profile still captures a window when epochs
+        are shorter than start_step (tiny datasets); ``step_idx`` is
+        accepted for call-site readability but not trusted as a clock."""
         if self._done:
             return
-        if not self._active and step_idx == self.start_step:
+        if not self._active and self._seen == self.start_step:
             jax.profiler.start_trace(self.log_dir)
             self._active = True
-        elif self._active and step_idx >= self.start_step + self.n_steps:
+        elif self._active and self._seen >= self.start_step + self.n_steps:
             self.close()
+        self._seen += 1
 
     def close(self) -> None:
+        """Stop the trace if running. Called at every epoch end; if the
+        trace never started (epoch shorter than start_step), stay armed so
+        a later epoch's steps can still be captured — otherwise --profile
+        on a tiny dataset silently produces an empty dump."""
         if self._active:
             jax.profiler.stop_trace()
             self._active = False
-        self._done = True
+            self._done = True
 
 
 @contextlib.contextmanager

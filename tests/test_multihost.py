@@ -66,15 +66,10 @@ def test_two_process_training_cluster(tmp_path):
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
 
+    from __graft_entry__ import force_host_device_count_flags
+
     env = dict(os.environ)
-    env["XLA_FLAGS"] = re.sub(
-        r"--xla_force_host_platform_device_count=\d+",
-        "",
-        env.get("XLA_FLAGS", ""),
-    ).strip()
-    env["XLA_FLAGS"] = (
-        env["XLA_FLAGS"] + " --xla_force_host_platform_device_count=4"
-    ).strip()
+    env["XLA_FLAGS"] = force_host_device_count_flags(env.get("XLA_FLAGS", ""), 4)
     env["JAX_PLATFORMS"] = "cpu"
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")

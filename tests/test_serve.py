@@ -174,3 +174,78 @@ def test_cli_warm_cache(served, tmp_path, capsys):
     )
     assert rc == 0
     assert f"warmed {N_CASES}" in capsys.readouterr().out
+
+
+def test_server_waits_for_incomplete_case(served, tmp_path):
+    """A case with missing modalities isn't zero-filled mid-upload: it
+    waits for quiescence (min_age), then serves; min_age=0 disables."""
+    import time as _time
+
+    from pcmseg_tpu.infer.serve import PredictionServer
+
+    config, root, save_dir = served
+    input_root = str(tmp_path / "inbox")
+    output_dir = str(tmp_path / "outbox")
+    case_dir = os.path.join(input_root, "case000")
+    # only 2 of 5 modalities present (upload in progress)
+    for m in config.modalities[:2]:
+        os.makedirs(os.path.join(case_dir, m), exist_ok=True)
+        shutil.copy(
+            os.path.join(root, "BPH-PCA", "BPH", m, "case000.nii.gz"),
+            os.path.join(case_dir, m, "image.nii.gz"),
+        )
+
+    server = PredictionServer(
+        config, os.path.join(save_dir, "best"), input_root, output_dir,
+        min_age=3600.0,
+    )
+    assert server.pending_cases() == []  # fresh files → not ready
+    assert server.run_once()["done"] == 0
+
+    # age the files past min_age → quiescent partial case becomes ready
+    old = _time.time() - 7200
+    for base, _, files in os.walk(case_dir):
+        for f in files:
+            os.utime(os.path.join(base, f), (old, old))
+    assert server.pending_cases() == ["case000"]
+
+    # min_age=0: serve immediately regardless of completeness
+    server0 = PredictionServer(
+        config, os.path.join(save_dir, "best"), input_root,
+        str(tmp_path / "outbox0"), min_age=0.0,
+    )
+    assert server0.pending_cases() == ["case000"]
+    assert server0.run_once()["done"] == 1
+
+
+def test_prediction_write_is_atomic(served, tmp_path, monkeypatch):
+    """A crash mid-write must not leave a truncated output posing as the
+    completion marker."""
+    from pcmseg_tpu.infer.predict import Predictor
+
+    config, root, save_dir = served
+    case_dir = _stage_case(root, config.modalities, "case001",
+                           str(tmp_path / "in"))
+    predictor = Predictor(config, os.path.join(save_dir, "best"))
+    out_path = str(tmp_path / "out" / "seg.nii.gz")
+
+    import pcmseg_tpu.infer.predict as predict_mod
+
+    real_write = predict_mod.write_volume
+
+    def crashing_write(vol, path):
+        real_write(vol, path)  # tmp file fully written...
+        raise RuntimeError("killed mid-save")  # ...but crash before rename
+
+    monkeypatch.setattr(predict_mod, "write_volume", crashing_write)
+    with pytest.raises(RuntimeError):
+        predictor.predict_and_save(case_dir, out_path)
+    assert not os.path.exists(out_path)  # no marker, no truncated file
+    assert not [
+        f for f in os.listdir(os.path.dirname(out_path))
+        if f.startswith(".tmp-")
+    ]
+
+    monkeypatch.setattr(predict_mod, "write_volume", real_write)
+    predictor.predict_and_save(case_dir, out_path)
+    assert os.path.exists(out_path)

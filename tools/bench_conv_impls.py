@@ -24,21 +24,12 @@ PEAK = 197e12
 
 
 def im2col_conv(x, w, b=None):
-    """SAME pad-1 3x3x3 conv as one matmul over concatenated shifts."""
-    n, d, h, wd, ci = x.shape
-    co = w.shape[-1]
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
-    slabs = [
-        xp[:, a : a + d, b_ : b_ + h, c : c + wd, :]
-        for a in range(3)
-        for b_ in range(3)
-        for c in range(3)
-    ]
-    patches = jnp.concatenate(slabs, axis=-1)  # (N,D,H,W,27*Ci)
-    k = w.reshape(27 * ci, co).astype(x.dtype)
-    # no preferred_element_type: match flax nn.Conv(dtype=bf16) semantics
-    # (MXU still accumulates fp32 internally) and keep the VJP single-dtype
-    y = jnp.dot(patches, k)
+    """The PRODUCTION im2col lowering (ops/im2col.py) — imported, not a
+    copy, so BENCH.md's decision-rule numbers always reflect the code
+    that ships (incl. its memory-safe custom VJP on the grad path)."""
+    from pcmseg_tpu.ops.im2col import conv3x3_im2col
+
+    y = conv3x3_im2col(x, w)
     if b is not None:
         y = y + b
     return y.astype(x.dtype)
