@@ -117,12 +117,32 @@ class PredictionServer:
 
     # -- serving ---------------------------------------------------------------
 
-    def process_case(self, case_id: str) -> Optional[str]:
-        case_dir = os.path.join(self.input_root, case_id)
+    def _load(self, case_id: str):
+        """Host-side decode+resample of one case (thread-safe, no device)."""
+        from pcmseg_tpu.infer.predict import load_multimodal_images
+
+        cfg = self.config
+        return load_multimodal_images(
+            os.path.join(self.input_root, case_id),
+            modalities=cfg.modalities,
+            handle_missing=cfg.missing_strategy,
+            normalize=cfg.normalize,
+            norm_percentiles=cfg.norm_percentiles,
+        )
+
+    def process_case(self, case_id: str, preloaded=None) -> Optional[str]:
+        """Segment one case. ``preloaded`` may be a concurrent Future from
+        ``_load`` (the pipeline path) — its exception, if any, surfaces
+        here and is counted against this case only."""
         t0 = time.perf_counter()
         try:
-            out = self.predictor.predict_and_save(
-                case_dir, self._output_path(case_id)
+            if preloaded is not None:
+                image, reference = preloaded.result()
+            else:
+                image, reference = self._load(case_id)
+            probs = self.predictor.predict_probs(image)
+            out = self.predictor.save_prediction(
+                probs, reference, self._output_path(case_id)
             )
         except Exception as e:  # one bad case must not kill the server
             self.stats["failed"] += 1
@@ -135,9 +155,27 @@ class PredictionServer:
         return out
 
     def run_once(self) -> Dict[str, int]:
-        """Segment every pending case once; returns the running stats."""
-        for case_id in self.pending_cases():
-            self.process_case(case_id)
+        """Segment every pending case once; returns the running stats.
+
+        The NEXT case's host decode overlaps the current case's device
+        compute (one-ahead prefetch thread) — the same host/device overlap
+        the training loader uses.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        cases = self.pending_cases()
+        if not cases:
+            return dict(self.stats)
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(self._load, cases[0])
+            for i, case_id in enumerate(cases):
+                nxt = (
+                    pool.submit(self._load, cases[i + 1])
+                    if i + 1 < len(cases)
+                    else None
+                )
+                self.process_case(case_id, preloaded=fut)
+                fut = nxt
         return dict(self.stats)
 
     def run(
