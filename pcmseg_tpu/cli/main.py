@@ -120,10 +120,12 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--max_polls", type=int, default=None)
     ps.add_argument("--stop_file", default=None,
                     help="exit when this file appears")
-    ps.add_argument("--min_age", type=float, default=30.0,
-                    help="serve an incomplete case only after its files "
-                         "have been quiescent this many seconds (guards "
-                         "against mid-upload zero-fill; 0 disables)")
+    ps.add_argument("--min_age", type=float, default=None,
+                    help="serve a case only after its files have been "
+                         "quiescent this many seconds (guards against "
+                         "serving mid-upload; 0 disables). Default: 30 in "
+                         "watch mode, 0 with --once (batch dirs are "
+                         "assumed complete)")
     ps.add_argument("--sliding_window", action="store_true")
     ps.add_argument("--window_size", type=int, nargs=3, default=None)
     ps.add_argument("--window_overlap", type=float, default=None)
@@ -267,6 +269,11 @@ def cmd_serve(args) -> int:
     from pcmseg_tpu.infer.serve import PredictionServer
 
     config, explicit = _config_from_args(args, with_explicit=True)
+    min_age = args.min_age
+    if min_age is None:
+        # batch mode operates on dirs assumed complete (the pre-quiescence
+        # behavior); the upload-race guard is a watch-mode concern
+        min_age = 0.0 if args.once else 30.0
     server = PredictionServer(
         config,
         args.model_path,
@@ -274,7 +281,7 @@ def cmd_serve(args) -> int:
         output_dir=args.output_dir,
         output_name=args.output_name,
         explicit=explicit,
-        min_age=args.min_age,
+        min_age=min_age,
     )
     if args.once:
         stats = server.run_once()
@@ -284,10 +291,13 @@ def cmd_serve(args) -> int:
             max_polls=args.max_polls,
             stop_file=args.stop_file,
         )
+    waiting = f", {stats['waiting']} waiting" if stats.get("waiting") else ""
     print(
-        f"served: {stats['done']} done, {stats['failed']} failed"
+        f"served: {stats['done']} done, {stats['failed']} failed{waiting}"
     )
-    return 0 if stats["failed"] == 0 else 1
+    if stats["failed"]:
+        return 1
+    return 2 if stats.get("waiting") else 0
 
 
 def cmd_warm_cache(args) -> int:

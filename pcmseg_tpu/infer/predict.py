@@ -180,12 +180,17 @@ class Predictor:
             key = image.shape
             if key not in self._sw_fns:
                 # on a multi-chip host, shard the tile batch over the
-                # 'data' mesh axis — tiles are embarrassingly parallel
+                # 'data' mesh axis — tiles are embarrassingly parallel.
+                # LOCAL devices only, and never under jax.distributed: a
+                # global mesh would demand collective participation from
+                # processes that aren't running this predict call.
                 mesh = None
-                if jax.device_count() > 1:
+                if jax.process_count() == 1 and len(jax.local_devices()) > 1:
                     from pcmseg_tpu.parallel.sharding import make_mesh
 
-                    mesh = make_mesh(data_parallel=-1)
+                    mesh = make_mesh(
+                        data_parallel=-1, devices=jax.local_devices()
+                    )
                 self._sw_fns[key] = make_device_sliding_window(
                     self._apply,
                     image.shape[:3],

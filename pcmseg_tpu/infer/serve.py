@@ -56,7 +56,7 @@ class PredictionServer:
         # the checkpoint doesn't use and idle forever
         self.config = self.predictor.config
         self.min_age = min_age
-        self.stats = {"done": 0, "failed": 0, "skipped": 0}
+        self.stats = {"done": 0, "failed": 0, "skipped": 0, "waiting": 0}
 
     # -- discovery -------------------------------------------------------------
 
@@ -69,28 +69,29 @@ class PredictionServer:
         )
 
     def _is_ready(self, path: str) -> bool:
-        """All modalities present, or the dir quiescent for min_age seconds.
+        """The case dir has been quiescent for ``min_age`` seconds.
 
         Guards against serving a case that is still being copied in: with
         ``missing_strategy='zero_fill'`` a half-uploaded case would get a
         silently degraded segmentation and the output marker would prevent
-        any retry once the rest arrived.
+        any retry once the rest arrived. Two deliberate choices:
+          * age = now − max(st_mtime, st_ctime): tar/rsync -a/cp -p
+            preserve mtimes (often days old), but ctime is stamped at
+            local file creation and cannot be back-dated — without it a
+            half-untarred case would look instantly quiescent;
+          * completeness does NOT short-circuit the window: the final
+            modality's file exists the moment its copy *starts*, so an
+            all-present case can still be mid-copy.
+        ``min_age <= 0`` disables the guard (everything is ready).
         """
-        found = [
-            _find_volume_file(os.path.join(path, m))
-            for m in self.config.modalities
-        ]
-        if all(found):
-            return True
         if self.min_age <= 0:
             return True
         newest = 0.0
         for base, _, files in os.walk(path):
             for f in files:
                 try:
-                    newest = max(
-                        newest, os.path.getmtime(os.path.join(base, f))
-                    )
+                    st = os.stat(os.path.join(base, f))
+                    newest = max(newest, st.st_mtime, st.st_ctime)
                 except OSError:
                     pass
         return newest > 0 and (time.time() - newest) >= self.min_age
@@ -99,10 +100,16 @@ class PredictionServer:
         return os.path.join(self.output_dir, case_id, self.output_name)
 
     def pending_cases(self) -> List[str]:
-        """Unprocessed, ready case ids under input_root (sorted)."""
+        """Unprocessed, ready case ids under input_root (sorted).
+
+        Side effect: ``stats['waiting']`` is set to the number of cases
+        currently held back by the quiescence window, so batch callers can
+        see that a scan left work behind.
+        """
         if not os.path.isdir(self.input_root):
             return []
         out = []
+        waiting = 0
         for name in sorted(os.listdir(self.input_root)):
             case_dir = os.path.join(self.input_root, name)
             if not self._is_case_dir(case_dir):
@@ -110,9 +117,15 @@ class PredictionServer:
             if os.path.exists(self._output_path(name)):
                 continue
             if not self._is_ready(case_dir):
-                self.log.info("case %s incomplete; waiting for quiescence", name)
+                waiting += 1
+                self.log.info(
+                    "case %s not quiescent yet; waiting (min_age=%.0fs)",
+                    name,
+                    self.min_age,
+                )
                 continue
             out.append(name)
+        self.stats["waiting"] = waiting
         return out
 
     # -- serving ---------------------------------------------------------------

@@ -9,17 +9,16 @@ spatial-sharding paths without TPU hardware (SURVEY.md §4's plan).
 """
 
 import os
-import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from __graft_entry__ import force_host_device_count_flags  # noqa: E402
 
 # force exactly 8 virtual devices (replace any preset count)
-_flags = re.sub(
-    r"--xla_force_host_platform_device_count=\d+",
-    "",
-    os.environ.get("XLA_FLAGS", ""),
+os.environ["XLA_FLAGS"] = force_host_device_count_flags(
+    os.environ.get("XLA_FLAGS", ""), 8
 )
-os.environ["XLA_FLAGS"] = (
-    _flags + " --xla_force_host_platform_device_count=8"
-).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402

@@ -51,11 +51,12 @@ def test_server_run_once_and_idempotent(served, tmp_path):
     os.makedirs(os.path.join(input_root, "not_a_case"))
 
     server = PredictionServer(
-        config, os.path.join(save_dir, "best"), input_root, output_dir
+        config, os.path.join(save_dir, "best"), input_root, output_dir,
+        min_age=0.0,
     )
     assert server.pending_cases() == ["case000", "case001"]
     stats = server.run_once()
-    assert stats == {"done": 2, "failed": 0, "skipped": 0}
+    assert stats == {"done": 2, "failed": 0, "skipped": 0, "waiting": 0}
     for cid in ("case000", "case001"):
         out = read_volume(os.path.join(output_dir, cid, "segmentation.nii.gz"))
         assert set(np.unique(out.data)) <= {0, 1}
@@ -73,7 +74,8 @@ def test_server_watch_picks_up_new_case_and_stops(served, tmp_path):
     output_dir = str(tmp_path / "outbox")
     os.makedirs(input_root)
     server = PredictionServer(
-        config, os.path.join(save_dir, "best"), input_root, output_dir
+        config, os.path.join(save_dir, "best"), input_root, output_dir,
+        min_age=0.0,
     )
     # empty first poll; case arrives before the second
     _stage_case(root, config.modalities, "case002", input_root)
@@ -103,7 +105,8 @@ def test_server_survives_bad_case(served, tmp_path):
         f.write(b"garbage")
 
     server = PredictionServer(
-        config, os.path.join(save_dir, "best"), input_root, output_dir
+        config, os.path.join(save_dir, "best"), input_root, output_dir,
+        min_age=0.0,
     )
     stats = server.run_once()
     assert stats["failed"] == 1 and stats["done"] == 0
@@ -176,9 +179,12 @@ def test_cli_warm_cache(served, tmp_path, capsys):
     assert f"warmed {N_CASES}" in capsys.readouterr().out
 
 
-def test_server_waits_for_incomplete_case(served, tmp_path):
-    """A case with missing modalities isn't zero-filled mid-upload: it
-    waits for quiescence (min_age), then serves; min_age=0 disables."""
+def test_server_waits_for_quiescence(served, tmp_path):
+    """Fresh files (possibly mid-upload) aren't served until the case dir
+    has been quiescent for min_age; min_age=0 disables the guard. The age
+    check uses max(mtime, ctime), so a sleep is the only honest way to age
+    a file (utime can backdate mtime but refreshes ctime — exactly the
+    tar/rsync-preserved-mtime hole the ctime term closes)."""
     import time as _time
 
     from pcmseg_tpu.infer.serve import PredictionServer
@@ -194,22 +200,25 @@ def test_server_waits_for_incomplete_case(served, tmp_path):
             os.path.join(root, "BPH-PCA", "BPH", m, "case000.nii.gz"),
             os.path.join(case_dir, m, "image.nii.gz"),
         )
-
-    server = PredictionServer(
-        config, os.path.join(save_dir, "best"), input_root, output_dir,
-        min_age=3600.0,
-    )
-    assert server.pending_cases() == []  # fresh files → not ready
-    assert server.run_once()["done"] == 0
-
-    # age the files past min_age → quiescent partial case becomes ready
+    # mtime-backdating alone must NOT make a fresh file look old (ctime)
     old = _time.time() - 7200
     for base, _, files in os.walk(case_dir):
         for f in files:
             os.utime(os.path.join(base, f), (old, old))
-    assert server.pending_cases() == ["case000"]
 
-    # min_age=0: serve immediately regardless of completeness
+    server = PredictionServer(
+        config, os.path.join(save_dir, "best"), input_root, output_dir,
+        min_age=2.0,
+    )
+    assert server.pending_cases() == []  # freshly created → not ready
+    assert server.stats["waiting"] == 1
+    assert server.run_once()["done"] == 0
+
+    _time.sleep(2.1)  # genuinely quiescent now
+    assert server.pending_cases() == ["case000"]
+    assert server.stats["waiting"] == 0
+
+    # min_age=0: serve immediately regardless of completeness/age
     server0 = PredictionServer(
         config, os.path.join(save_dir, "best"), input_root,
         str(tmp_path / "outbox0"), min_age=0.0,
