@@ -84,6 +84,14 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common_flags(pv)
     pv.add_argument("--model_path", required=True,
                     help="checkpoint dir (Orbax) or torch .pth")
+    pv.add_argument("--native", action="store_true",
+                    help="score at each label's native grid via "
+                         "sliding-window inference (the honest Dice; "
+                         "default scores on target_size-resampled volumes "
+                         "like the reference)")
+    pv.add_argument("--tta", action="store_true",
+                    help="8-way flip-ensemble test-time augmentation "
+                         "(with --native)")
 
     # predict
     pp = sub.add_parser("predict", help="segment a case directory")
@@ -241,7 +249,11 @@ def cmd_validate(args) -> int:
     from pcmseg_tpu.infer.validate import Validator
 
     config, explicit = _config_from_args(args, with_explicit=True)
-    results = Validator(config, args.model_path, explicit=explicit).validate()
+    validator = Validator(config, args.model_path, explicit=explicit)
+    if getattr(args, "native", False):
+        results = validator.validate_native()
+    else:
+        results = validator.validate()
     print(
         f"avg_dice={results['avg_dice']:.4f} avg_iou={results['avg_iou']:.4f} "
         f"({results['case_count']} cases)"

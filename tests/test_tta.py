@@ -109,3 +109,33 @@ def test_cli_tta_flag_parses():
         ["serve", "--model_path", "m", "--input_root", "r", "--tta"]
     )
     assert args.tta is True
+
+
+def test_native_resolution_validation(tmp_path):
+    """validate_native scores at each label's raw grid (beyond-reference),
+    reusing the already-loaded state; CLI --native reaches it."""
+    import json
+    import os
+
+    from test_e2e import tiny_config
+
+    from pcmseg_tpu.data.synthetic import make_synthetic_dataset
+    from pcmseg_tpu.infer.validate import Validator
+    from pcmseg_tpu.train.trainer import Trainer
+
+    root = str(tmp_path / "data")
+    # native 20^3 vs target 16^3: native eval must run at 20^3
+    make_synthetic_dataset(root, n_cases=4, shape=(20, 20, 20), seed=13)
+    save_dir = str(tmp_path / "ckpt")
+    config = tiny_config(root, save_dir, num_epochs=1, validation=False)
+    Trainer(config).train()
+
+    v = Validator(config, os.path.join(save_dir, "best"))
+    results = v.validate_native()
+    assert results["resolution"] == "native"
+    assert results["case_count"] == 4
+    for r in results["case_results"]:
+        assert r["shape"] == [20, 20, 20]
+        assert 0.0 <= r["dice"] <= 1.0
+    out = os.path.join(save_dir, "validation_results_native.json")
+    assert json.load(open(out))["avg_dice"] == results["avg_dice"]
