@@ -147,6 +147,45 @@ class Predictor:
         apply = lambda vars_, x: serve_model.apply(  # noqa: E731
             vars_, x, method=UNet3D.predict
         )
+        if config.spatial_parallel > 1:
+            # spatially-sharded whole-volume inference: the batch's D axis
+            # is sharded over Mesh('spatial') and GSPMD inserts the conv
+            # halo exchanges (same mechanism the training path uses,
+            # parallel/sharding.py) — volumes too large for one chip's HBM
+            # at native resolution run seam-free across chips instead of
+            # falling back to overlap tiling. Local devices, single
+            # process (a global mesh would hang one-process calls).
+            if (
+                jax.process_count() == 1
+                and len(jax.local_devices()) >= config.spatial_parallel
+            ):
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from pcmseg_tpu.parallel.sharding import (
+                    SPATIAL_AXIS,
+                    make_mesh,
+                )
+
+                mesh = make_mesh(
+                    data_parallel=1,
+                    spatial_parallel=config.spatial_parallel,
+                    devices=jax.local_devices()[: config.spatial_parallel],
+                )
+                sharding = NamedSharding(mesh, P(None, SPATIAL_AXIS))
+                inner = apply
+
+                def apply(vars_, x, _inner=inner, _s=sharding):  # noqa: E731
+                    x = jax.lax.with_sharding_constraint(x, _s)
+                    return jax.lax.with_sharding_constraint(_inner(vars_, x), _s)
+
+            else:
+                self.log.warning(
+                    "spatial_parallel=%d requested but %d local device(s) "
+                    "available in %d process(es); serving unsharded",
+                    config.spatial_parallel,
+                    len(jax.local_devices()),
+                    jax.process_count(),
+                )
         if config.tta:
             # flip-ensemble TTA (infer/tta.py): composes with the
             # sliding-window tiling below — each tile is ensembled in place

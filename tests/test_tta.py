@@ -139,3 +139,37 @@ def test_native_resolution_validation(tmp_path):
         assert 0.0 <= r["dice"] <= 1.0
     out = os.path.join(save_dir, "validation_results_native.json")
     assert json.load(open(out))["avg_dice"] == results["avg_dice"]
+
+
+def test_spatially_sharded_whole_volume_predict(tmp_path):
+    """spatial_parallel>1 serves the whole volume D-sharded over
+    Mesh('spatial') (GSPMD conv halo exchange) with results matching the
+    unsharded predictor."""
+    import os
+
+    from test_e2e import tiny_config
+
+    from pcmseg_tpu.data.synthetic import make_synthetic_dataset
+    from pcmseg_tpu.infer.predict import Predictor
+    from pcmseg_tpu.train.trainer import Trainer
+
+    root = str(tmp_path / "data")
+    make_synthetic_dataset(root, n_cases=4, shape=(18, 18, 18), seed=17)
+    save_dir = str(tmp_path / "ckpt")
+    config = tiny_config(root, save_dir, num_epochs=1, validation=False)
+    Trainer(config).train()
+
+    rng = np.random.default_rng(5)
+    img = rng.random((16, 16, 16, 5)).astype(np.float32)
+    ckpt = os.path.join(save_dir, "best")
+    p_plain = Predictor(config, ckpt)
+    p_sp = Predictor(config.replace(spatial_parallel=4), ckpt)
+    out_plain = p_plain.predict_probs(img)
+    out_sp = p_sp.predict_probs(img)
+    np.testing.assert_allclose(out_sp, out_plain, atol=1e-5)
+
+    # more shards than devices → warn + serve unsharded, never crash
+    p_over = Predictor(config.replace(spatial_parallel=64), ckpt)
+    np.testing.assert_allclose(
+        p_over.predict_probs(img), out_plain, atol=1e-5
+    )
