@@ -147,6 +147,7 @@ class Predictor:
         apply = lambda vars_, x: serve_model.apply(  # noqa: E731
             vars_, x, method=UNet3D.predict
         )
+        self._spatial_sharded = False
         if config.spatial_parallel > 1:
             # spatially-sharded whole-volume inference: the batch's D axis
             # is sharded over Mesh('spatial') and GSPMD inserts the conv
@@ -178,6 +179,7 @@ class Predictor:
                     x = jax.lax.with_sharding_constraint(x, _s)
                     return jax.lax.with_sharding_constraint(_inner(vars_, x), _s)
 
+                self._spatial_sharded = True
             else:
                 self.log.warning(
                     "spatial_parallel=%d requested but %d local device(s) "
@@ -207,8 +209,14 @@ class Predictor:
         if image.ndim != 4:
             raise ValueError(f"expected (D,H,W,C), got {image.shape}")
         ws = self.config.window_size
+        # with spatial sharding active, per-chip memory covers only 1/n of
+        # the D axis — the whole-volume path can take volumes n× longer
+        # before overlap tiling is needed
+        d_cap = ws[0] * (
+            self.config.spatial_parallel if self._spatial_sharded else 1
+        )
         needs_tiling = self.config.sliding_window or any(
-            s > w for s, w in zip(image.shape[:3], ws)
+            s > w for s, w in zip(image.shape[:3], (d_cap, ws[1], ws[2]))
         )
         if needs_tiling:
             # fully on-device tiling: one jitted program, one D2H transfer

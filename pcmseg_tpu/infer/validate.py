@@ -292,4 +292,5 @@ class Validator:
         p._apply = jax.jit(apply)
         p._predict = lambda x: p._apply(p._variables, x)
         p._sw_fns = {}
+        p._spatial_sharded = False
         return p

@@ -173,3 +173,35 @@ def test_spatially_sharded_whole_volume_predict(tmp_path):
     np.testing.assert_allclose(
         p_over.predict_probs(img), out_plain, atol=1e-5
     )
+
+
+def test_spatial_sharding_raises_whole_volume_capacity(tmp_path):
+    """With D sharded over n chips, volumes n× longer in D stay on the
+    seam-free whole-volume path instead of overlap tiling."""
+    import os
+
+    from test_e2e import tiny_config
+
+    from pcmseg_tpu.data.synthetic import make_synthetic_dataset
+    from pcmseg_tpu.infer.predict import Predictor
+    from pcmseg_tpu.train.trainer import Trainer
+
+    root = str(tmp_path / "data")
+    make_synthetic_dataset(root, n_cases=4, shape=(18, 18, 18), seed=19)
+    save_dir = str(tmp_path / "ckpt")
+    config = tiny_config(root, save_dir, num_epochs=1, validation=False)
+    Trainer(config).train()
+    ckpt = os.path.join(save_dir, "best")
+
+    rng = np.random.default_rng(6)
+    # D=32 exceeds the 16^3 window: unsharded must tile, 4-way sharded
+    # must NOT (cap = 4x16 = 64)
+    img = rng.random((32, 16, 16, 5)).astype(np.float32)
+    cfg = config.replace(window_size=(16, 16, 16))
+    p_plain = Predictor(cfg, ckpt)
+    p_sp = Predictor(cfg.replace(spatial_parallel=4), ckpt)
+    out_plain = p_plain.predict_probs(img)
+    assert p_plain._sw_fns  # tiled
+    out_sp = p_sp.predict_probs(img)
+    assert not p_sp._sw_fns  # whole-volume, seam-free
+    assert out_sp.shape == out_plain.shape == (32, 16, 16, 1)
