@@ -1,0 +1,108 @@
+"""Hybrid 3x3x3 conv: XLA forward, hand-picked backward lowerings.
+
+The training step's MFU ceiling is the conv backward (BENCH.md): XLA's
+forward conv at this model's shapes is competitive (and fuses with the
+surrounding bias/BN/ReLU), but its backward pair — dx (a conv of the
+padded dy with the flipped/transposed kernel) and dW (a whole-volume
+contraction onto (27*Ci, Co)) — is where the step loses its MFU.
+
+This op keeps the forward byte-identical to ``lax.conv_general_dilated``
+(so checkpoints, parity tests, and serving are untouched) and swaps ONLY
+the backward:
+
+  * dx: XLA's conv on the transformed kernel — conv-shaped, stays native.
+  * dW: selectable lowering:
+      - 'xla'      native AD (conv_grad_weights),
+      - 'pallas'   the windowed-matmul kernel (ops/pallas/conv3d_grad.py),
+      - 'decomp2d' the depth-decomposed form: dW of a 3³ conv is three
+        independent dWs of (1,3,3) convs over z-shifted inputs, which XLA
+        emits as well-tiled 2-D weight-gradient convs.
+
+The decision of *where* to use which is measured (isolated A/B in
+tools/bench_conv_grad_split.py, then end-to-end train-step A/B),
+mirroring ops/im2col.py's methodology — isolated-op wins at lowering
+boundaries routinely invert inside the full XLA graph.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _lax_conv(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1, 1), ((1, 1), (1, 1), (1, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+def _dw_decomp2d(x, dy):
+    """dW via the depth decomposition: for z-offset a, dW[a] is the
+    weight-gradient of a (1,3,3) conv of shift_D(x, a-1) against dy —
+    XLA lowers each as a 2-D conv-grad, which tiles far better than the
+    3-D one at full-resolution shapes."""
+    d = x.shape[1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    parts = []
+    for a in range(3):
+        xa = xp[:, a : a + d]
+
+        def fwd_a(wa, xa=xa):
+            return jax.lax.conv_general_dilated(
+                xa, wa, (1, 1, 1), ((0, 0), (1, 1), (1, 1)),
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+
+        ci, co = x.shape[-1], dy.shape[-1]
+        _, vjp = jax.vjp(fwd_a, jnp.zeros((1, 3, 3, ci, co), x.dtype))
+        (dwa,) = vjp(dy)
+        parts.append(dwa)
+    return jnp.concatenate(parts, axis=0)  # (3,3,3,Ci,Co)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3x3_hybrid(x: jnp.ndarray, w: jnp.ndarray, dw_impl: str = "decomp2d"):
+    """SAME pad-1 3³ conv, (N,D,H,W,Ci) × (3,3,3,Ci,Co) → (N,D,H,W,Co).
+
+    Forward is exactly the lax conv; only the VJP differs (``dw_impl``).
+    """
+    return _lax_conv(x, w)
+
+
+def _fwd(x, w, dw_impl):
+    return _lax_conv(x, w), (x, w)
+
+
+def _bwd(dw_impl, res, dy):
+    x, w = res
+    dy = dy.astype(x.dtype)
+    # dx: conv of dy with the spatially-flipped, Ci<->Co-swapped kernel —
+    # conv-shaped, so XLA's native emitter handles it.
+    wt = jnp.transpose(w[::-1, ::-1, ::-1], (0, 1, 2, 4, 3))  # (3,3,3,Co,Ci)
+    dx = _lax_conv(dy, wt.astype(dy.dtype)).astype(x.dtype)
+    if dw_impl == "pallas":
+        from pcmseg_tpu.ops.pallas.conv3d_grad import conv3x3_dw
+
+        dw = conv3x3_dw(x, dy)
+    elif dw_impl == "decomp2d":
+        dw = _dw_decomp2d(x, dy)
+    else:  # 'xla'
+        _, vjp = jax.vjp(lambda wc: _lax_conv(x, wc), w)
+        (dw,) = vjp(dy.astype(jnp.float32))
+    return dx, dw.astype(w.dtype)
+
+
+conv3x3_hybrid.defvjp(_fwd, _bwd)
+
+
+def should_use_hybrid(spatial: tuple, cin: int, cout: int) -> bool:
+    """Measured decision rule for the training path.
+
+    Placeholder until the on-chip A/B lands (tools/bench_conv_grad_split
+    + end-to-end train-step A/B); updated with the measured rule in the
+    same change that flips any default.
+    """
+    return False
