@@ -133,9 +133,11 @@ class Config:
     compute_dtype: str = "bfloat16"  # activations/conv compute
     param_dtype: str = "float32"  # params + BN stats stay fp32
     remat: bool = True  # rematerialize DoubleConv blocks
-    # training-path conv lowering: 'auto' picks the im2col matmul form where
-    # its measured fwd+bwd beats XLA's native conv (ops/im2col.py), 'lax'
-    # forces nn.Conv everywhere, 'im2col' forces the matmul form
+    # training-path conv lowering: 'auto' picks the measured-best form per
+    # shape (im2col matmul at the bottleneck, ops/im2col.py; hybrid
+    # custom-VJP where its dW lowering wins, ops/hybrid_conv.py), 'lax'
+    # forces nn.Conv everywhere, 'im2col'/'hybrid'/'hybrid_pallas' force
+    # one lowering for A/B measurement
     conv_lowering: str = "auto"
     data_parallel: int = -1  # -1 = all devices on the 'data' mesh axis
     spatial_parallel: int = 1  # shard the D spatial axis ('spatial' mesh axis)
@@ -184,10 +186,12 @@ class Config:
             raise ValueError(
                 f"norm_layer={self.norm_layer!r}; expected one of {NORM_LAYERS}"
             )
-        if self.conv_lowering not in ("auto", "lax", "im2col"):
+        if self.conv_lowering not in (
+            "auto", "lax", "im2col", "hybrid", "hybrid_pallas"
+        ):
             raise ValueError(
-                f"conv_lowering={self.conv_lowering!r}; "
-                "expected 'auto', 'lax', or 'im2col'"
+                f"conv_lowering={self.conv_lowering!r}; expected 'auto', "
+                "'lax', 'im2col', 'hybrid', or 'hybrid_pallas'"
             )
         if self.data_type not in ("BPH", "PCA"):
             raise ValueError(f"data_type={self.data_type!r}; expected 'BPH' or 'PCA'")

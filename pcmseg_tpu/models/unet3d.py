@@ -103,6 +103,37 @@ class Im2colConv3x3(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class HybridConv3x3(nn.Module):
+    """3³ SAME conv with the hybrid custom VJP (ops/hybrid_conv.py).
+
+    Forward bytes are identical to nn.Conv's lax lowering (parameter
+    names/shapes also identical), so checkpoints and serving are
+    unaffected; only the backward swaps dW to the selected lowering.
+    """
+
+    features: int
+    dw_impl: str = "decomp_ad"  # decomp_ad | pallas | xla
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from pcmseg_tpu.ops.hybrid_conv import conv3x3_hybrid
+
+        ci = x.shape[-1]
+        kernel = self.param(
+            "kernel", kaiming_fan_out, (3, 3, 3, ci, self.features),
+            self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+        )
+        y = conv3x3_hybrid(
+            x.astype(self.dtype), kernel.astype(self.dtype), self.dw_impl
+        )
+        return y + bias.astype(self.dtype)
+
+
 class DoubleConv3D(nn.Module):
     """(Conv3d 3³ pad 1 → Norm → ReLU) × 2."""
 
@@ -116,6 +147,7 @@ class DoubleConv3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from pcmseg_tpu.ops.hybrid_conv import should_use_hybrid
         from pcmseg_tpu.ops.im2col import should_use_im2col
 
         for i in range(2):
@@ -143,7 +175,35 @@ class DoubleConv3D(nn.Module):
                 and train
                 and should_use_im2col(x.shape[1:4], x.shape[-1], self.features)
             )
-            if use_i2c:
+            # hybrid custom-VJP conv (XLA fwd, swapped dW backward):
+            # explicit opt-in ('hybrid' / 'hybrid_pallas') or the measured
+            # auto rule (ops/hybrid_conv.should_use_hybrid)
+            use_hybrid = (
+                train
+                and not use_i2c
+                and (
+                    self.conv_lowering in ("hybrid", "hybrid_pallas")
+                    or (
+                        self.conv_lowering == "auto"
+                        and should_use_hybrid(
+                            x.shape[1:4], x.shape[-1], self.features
+                        )
+                    )
+                )
+            )
+            if use_hybrid:
+                x = HybridConv3x3(
+                    self.features,
+                    dw_impl=(
+                        "pallas"
+                        if self.conv_lowering == "hybrid_pallas"
+                        else "decomp_ad"
+                    ),
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name=f"conv{i}",
+                )(x)
+            elif use_i2c:
                 x = Im2colConv3x3(
                     self.features,
                     dtype=self.dtype,

@@ -39,35 +39,38 @@ def _lax_conv(x, w):
     )
 
 
-def _dw_decomp2d(x, dy):
-    """dW via the depth decomposition: for z-offset a, dW[a] is the
-    weight-gradient of a (1,3,3) conv of shift_D(x, a-1) against dy —
-    XLA lowers each as a 2-D conv-grad, which tiles far better than the
-    3-D one at full-resolution shapes."""
+def conv2d_decomp(x, w):
+    """The same 3³ SAME conv as three shifted (1,3,3)-kernel convs.
+
+    Mathematically identical to ``_lax_conv`` (bf16 outputs bitwise-equal,
+    test-gated); exists for its AD: XLA's *2-D* conv gradients tile onto
+    the MXU 3-6x faster than the 3-D ones at this model's shapes
+    (tools/bench_conv2d_decomp.py with a real cotangent: 64³x128ch
+    dx+dw 7.6 ms vs 44 ms; at 128³ the isolated 3-D backward does not
+    even compile through the tunnel).
+    """
     d = x.shape[1]
     xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
-    parts = []
+    y = None
     for a in range(3):
-        xa = xp[:, a : a + d]
-
-        def fwd_a(wa, xa=xa):
-            return jax.lax.conv_general_dilated(
-                xa, wa, (1, 1, 1), ((0, 0), (1, 1), (1, 1)),
-                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            )
-
-        ci, co = x.shape[-1], dy.shape[-1]
-        _, vjp = jax.vjp(fwd_a, jnp.zeros((1, 3, 3, ci, co), x.dtype))
-        (dwa,) = vjp(dy)
-        parts.append(dwa)
-    return jnp.concatenate(parts, axis=0)  # (3,3,3,Ci,Co)
+        ya = jax.lax.conv_general_dilated(
+            xp[:, a : a + d], w[a : a + 1], (1, 1, 1),
+            ((0, 0), (1, 1), (1, 1)),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        y = ya if y is None else y + ya
+    return y
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
-def conv3x3_hybrid(x: jnp.ndarray, w: jnp.ndarray, dw_impl: str = "decomp2d"):
+def conv3x3_hybrid(x: jnp.ndarray, w: jnp.ndarray, dw_impl: str = "decomp_ad"):
     """SAME pad-1 3³ conv, (N,D,H,W,Ci) × (3,3,3,Ci,Co) → (N,D,H,W,Co).
 
-    Forward is exactly the lax conv; only the VJP differs (``dw_impl``).
+    Forward is exactly the lax conv; only the VJP differs (``dw_impl``):
+      - 'decomp_ad': dx and dW via AD of the depth-decomposed form
+        (three 2-D conv gradients each) — the measured winner.
+      - 'pallas': dW from the windowed-matmul kernel, dx native.
+      - 'xla': native 3-D AD for both (A/B baseline).
     """
     return _lax_conv(x, w)
 
@@ -79,6 +82,10 @@ def _fwd(x, w, dw_impl):
 def _bwd(dw_impl, res, dy):
     x, w = res
     dy = dy.astype(x.dtype)
+    if dw_impl == "decomp_ad":
+        _, vjp = jax.vjp(conv2d_decomp, x, w.astype(x.dtype))
+        dx, dw = vjp(dy)
+        return dx.astype(x.dtype), dw.astype(w.dtype)
     # dx: conv of dy with the spatially-flipped, Ci<->Co-swapped kernel —
     # conv-shaped, so XLA's native emitter handles it.
     wt = jnp.transpose(w[::-1, ::-1, ::-1], (0, 1, 2, 4, 3))  # (3,3,3,Co,Ci)
@@ -87,8 +94,6 @@ def _bwd(dw_impl, res, dy):
         from pcmseg_tpu.ops.pallas.conv3d_grad import conv3x3_dw
 
         dw = conv3x3_dw(x, dy)
-    elif dw_impl == "decomp2d":
-        dw = _dw_decomp2d(x, dy)
     else:  # 'xla'
         _, vjp = jax.vjp(lambda wc: _lax_conv(x, wc), w)
         (dw,) = vjp(dy.astype(jnp.float32))

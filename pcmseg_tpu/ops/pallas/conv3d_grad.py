@@ -55,17 +55,22 @@ def _dw_kernel(x0_ref, x1_ref, x2_ref, dy_ref, dw_ref):
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
     hc, w = dy_ref.shape[2:4]
-    dy = dy_ref[0, 0]  # (Hc, W, Co)
+    co = dy_ref.shape[-1]
+    ci = x0_ref.shape[-1]
+    # 2-D operands with a single contracting dim — Mosaic's tpu.matmul
+    # rejects multi-dim contractions ("lhs contracting dims must be of
+    # size 1"), so flatten (Hc, W) -> V before the dot.
+    dy2 = dy_ref[0, 0].reshape(hc * w, co)  # (V, Co), contiguous
     for dz, slab_ref in enumerate((x0_ref, x1_ref, x2_ref)):
         slab = slab_ref[0, 0]  # (Hc+2, W+2, Ci)
         for dy_off in range(3):
             rows = slab[dy_off : dy_off + hc, :, :]
             for dx_off in range(3):
-                window = rows[:, dx_off : dx_off + w, :]  # (Hc, W, Ci)
+                window = rows[:, dx_off : dx_off + w, :].reshape(hc * w, ci)
                 contrib = jax.lax.dot_general(
                     window,
-                    dy,
-                    dimension_numbers=(((0, 1), (0, 1)), ((), ())),
+                    dy2,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (Ci, Co)
                 idx = dz * 9 + dy_off * 3 + dx_off
@@ -109,11 +114,24 @@ def _dw_call(xp, dy, interpret):
     )(xp, xp, xp, dy)
 
 
-# one padded (Hc+2)(W+2)Ci slab (bytes) above which H gets chunked; the
-# VMEM working set is ~3 slabs x2 (double buffering) + dy block x2 + the
-# fp32 (27,Ci,Co) accumulator, which must stay well under ~16 MB.
-_SLAB_BYTES_LIMIT = 66 * 130 * 128 * 2
-_CHUNK_H = 64
+# one padded (Hc+2)(W+2)Ci slab (bytes) above which H gets chunked. The
+# VMEM working set is 3 slabs x2 (double buffering) + dy block x2 + the
+# fp32 (27,Ci,Co) accumulator PLUS Mosaic stack temporaries for the
+# window reshapes (~2 window-sized buffers live at a time) — measured: a
+# 1.05 MB slab limit ran 17.15M scoped VMEM at 128³ (1.15M over budget),
+# so the limit sits at ~0.57 MB/slab (Hc=32 at 128³, ~9M scoped).
+_SLAB_BYTES_LIMIT = 34 * 130 * 64 * 2
+_MIN_CHUNK_H = 8
+
+
+def _pick_chunk_h(h: int, w: int, ci: int, itemsize: int):
+    """Largest H-chunk whose padded slab fits the VMEM budget."""
+    hc = h
+    while hc >= _MIN_CHUNK_H:
+        if (hc + 2) * (w + 2) * ci * itemsize <= _SLAB_BYTES_LIMIT:
+            return hc
+        hc //= 2
+    return None
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -136,19 +154,18 @@ def conv3x3_dw(
 
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
 
-    slab_bytes = (min(h, _CHUNK_H) + 2) * (w + 2) * ci * x.dtype.itemsize
-    if slab_bytes > _SLAB_BYTES_LIMIT:
+    hc = _pick_chunk_h(h, w, ci, x.dtype.itemsize)
+    if hc is None:
         raise ValueError(
-            f"slab too large for VMEM even H-chunked: {x.shape} "
-            f"({slab_bytes} bytes)"
+            f"slab too large for VMEM even H-chunked: {x.shape}"
         )
 
-    if (h + 2) * (w + 2) * ci * x.dtype.itemsize <= _SLAB_BYTES_LIMIT:
+    if hc == h:
         dw27 = _dw_call(xp, dy, interpret)
     else:
         dw27 = jnp.zeros((27, ci, co), jnp.float32)
-        for h0 in range(0, h, _CHUNK_H):
-            hcn = min(_CHUNK_H, h - h0)
+        for h0 in range(0, h, hc):
+            hcn = min(hc, h - h0)
             dw27 = dw27 + _dw_call(
                 xp[:, :, h0 : h0 + hcn + 2, :, :],
                 dy[:, :, h0 : h0 + hcn, :, :],

@@ -38,8 +38,8 @@ def test_dw_matches_ad(shape_ci_co):
 
 
 def test_dw_chunked_matches_ad(monkeypatch):
-    monkeypatch.setattr(conv3d_grad, "_SLAB_BYTES_LIMIT", 10 * 10 * 8 * 4)
-    monkeypatch.setattr(conv3d_grad, "_CHUNK_H", 8)
+    # force the H-chunked path: slab budget only fits 12-row chunks
+    monkeypatch.setattr(conv3d_grad, "_SLAB_BYTES_LIMIT", 14 * 10 * 8 * 4)
     x = _rand((1, 4, 24, 8, 8), seed=3)
     dy = _rand((1, 4, 24, 8, 4), seed=4)
     ours = conv3d_grad.conv3x3_dw(x, dy, interpret=INTERPRET)
@@ -57,7 +57,7 @@ def test_hybrid_forward_identical():
     )
 
 
-@pytest.mark.parametrize("dw_impl", ["decomp2d", "xla"])
+@pytest.mark.parametrize("dw_impl", ["decomp_ad", "xla"])
 def test_hybrid_grads_match_ad(dw_impl):
     _check_hybrid_grads(dw_impl)
 
@@ -101,3 +101,43 @@ def _check_hybrid_grads(dw_impl):
     np.testing.assert_allclose(
         np.asarray(dw_h), np.asarray(dw_r), rtol=1e-4, atol=1e-3
     )
+
+
+def test_model_train_step_hybrid_matches_lax():
+    """One full train step: 'hybrid' lowering must reproduce 'lax' —
+    identical forward/loss, matching gradients (it only swaps the dW
+    lowering)."""
+    from pcmseg_tpu.core.config import get_config
+    from pcmseg_tpu.models import UNet3D
+    from pcmseg_tpu.train.steps import create_train_state, make_train_step
+
+    losses, gnorms = {}, {}
+    for lowering in ("lax", "hybrid"):
+        cfg = get_config(
+            "quick",
+            base_features=4,
+            target_size=(16, 16, 16),
+            batch_size=1,
+            compute_dtype="float32",
+            conv_lowering=lowering,
+            remat=False,
+        )
+        model = UNet3D.from_config(cfg)
+        state = create_train_state(
+            cfg, jax.random.key(0), model, (1, 16, 16, 16, 5)
+        )
+        rng = np.random.default_rng(0)
+        batch = {
+            "image": jnp.asarray(
+                rng.normal(size=(1, 16, 16, 16, 5)), jnp.float32
+            ),
+            "label": jnp.asarray(
+                rng.random((1, 16, 16, 16, 1)) > 0.8, jnp.float32
+            ),
+        }
+        step = jax.jit(make_train_step(model, cfg))
+        _, metrics = step(state, batch)
+        losses[lowering] = float(metrics["loss"])
+        gnorms[lowering] = float(metrics["grad_norm"])
+    assert losses["hybrid"] == pytest.approx(losses["lax"], abs=1e-6)
+    assert gnorms["hybrid"] == pytest.approx(gnorms["lax"], rel=1e-3)
