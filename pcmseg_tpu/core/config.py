@@ -55,7 +55,13 @@ class Config:
     target_size: Tuple[int, int, int] = (128, 128, 128)  # (D, H, W)
     normalize: str = "percentile"  # percentile-clipped min-max by default
     norm_percentiles: Tuple[float, float] = (1.0, 99.0)
-    cache_dir: Optional[str] = None  # preprocessing cache (None = no cache)
+    # Preprocessing cache. Default 'auto' resolves to $PCMSEG_CACHE_DIR or
+    # ~/.cache/pcmseg/preproc (keys are content-aware: case paths, mtimes,
+    # target size, normalization — stale entries can't be served). The
+    # cache is load-bearing for TPU throughput: the measured end-to-end
+    # train loop at 128³ runs 6x slower re-decoding every epoch (BENCH.md
+    # "End-to-end training throughput"). None/'' disables.
+    cache_dir: Optional[str] = "auto"
     prefetch: int = 2  # device prefetch depth (double buffering)
     shuffle_buffer_seed: int = 0
 

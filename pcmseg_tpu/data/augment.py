@@ -29,6 +29,7 @@ def augment_sample(
     intensity_jitter: float = 0.1,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Augment one ((D,H,W,C), (D,H,W,1)) pair; returns new arrays."""
+    image_dtype, label_dtype = image.dtype, label.dtype
     if flip:
         for ax in range(3):
             if rng.random() < 0.5:
@@ -46,12 +47,15 @@ def augment_sample(
     if intensity_jitter > 0:
         scale = 1.0 + rng.uniform(-intensity_jitter, intensity_jitter)
         shift = rng.uniform(-intensity_jitter, intensity_jitter) * float(
-            image.std() or 1.0
+            image.astype(np.float32).std() or 1.0
         )
         image = image * scale + shift
+    # preserve the input dtypes: the pipeline's wire format is bf16 image /
+    # uint8 label (dataset.load_case) and upcasting here would double the
+    # host->device transfer that dominates the epoch
     return (
-        np.ascontiguousarray(image, dtype=np.float32),
-        np.ascontiguousarray(label, dtype=np.float32),
+        np.ascontiguousarray(image).astype(image_dtype, copy=False),
+        np.ascontiguousarray(label).astype(label_dtype, copy=False),
     )
 
 

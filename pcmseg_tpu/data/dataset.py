@@ -33,6 +33,7 @@ import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import ml_dtypes
 import numpy as np
 
 from pcmseg_tpu.core.config import DEFAULT_MODALITIES
@@ -56,6 +57,24 @@ def _find_case_file(directory: str, case_id: str) -> Optional[str]:
         if os.path.exists(p):
             return p
     return None
+
+
+def resolve_cache_dir(cache_dir: Optional[str]) -> Optional[str]:
+    """Resolve the preprocessing-cache location.
+
+    'auto' (the config default) → $PCMSEG_CACHE_DIR, falling back to
+    ~/.cache/pcmseg/preproc. Cache keys are content-aware (paths, mtimes,
+    preprocessing params — see ``ProstateDataset._cache_key``), so a
+    shared directory is safe across runs and datasets. None/'' disables.
+    """
+    if not cache_dir:
+        return None
+    if cache_dir != "auto":
+        return cache_dir
+    env = os.environ.get("PCMSEG_CACHE_DIR")
+    if env == "":
+        return None  # explicit opt-out
+    return env or os.path.expanduser("~/.cache/pcmseg/preproc")
 
 
 class ProstateDataset:
@@ -83,11 +102,11 @@ class ProstateDataset:
         self.target_size = tuple(target_size)
         self.normalize = normalize
         self.norm_percentiles = tuple(norm_percentiles)
-        self.cache_dir = cache_dir
+        self.cache_dir = resolve_cache_dir(cache_dir)
         self.is_training = is_training
         self.verbose = verbose
-        if cache_dir:
-            os.makedirs(cache_dir, exist_ok=True)
+        if self.cache_dir:
+            os.makedirs(self.cache_dir, exist_ok=True)
 
         self.case_list: List[CaseRecord] = self._filter_cases(self._scan_case_ids())
 
@@ -222,29 +241,46 @@ class ProstateDataset:
         return normalize_intensity(data, self.normalize, self.norm_percentiles)
 
     def load_case(self, idx: int) -> Dict[str, np.ndarray]:
-        """Load + preprocess one case → {'image','label','case_id'}."""
+        """Load + preprocess one case → {'image','label','case_id'}.
+
+        Wire format: image bfloat16, label uint8. The model computes in
+        bf16 anyway (it casts fp32 inputs on arrival), so rounding once
+        host-side is numerics-identical — and it halves the cache file,
+        host RAM, and the host→device transfer (which dominates the
+        end-to-end epoch: BENCH.md "End-to-end training throughput").
+        """
         rec = self.case_list[idx]
 
         if self.cache_dir:
             cpath = os.path.join(self.cache_dir, self._cache_key(rec) + ".npz")
             if os.path.exists(cpath):
                 z = np.load(cpath)
-                return {
+                if "image_bf16" in z:  # v2: bf16 bits as uint16 + uint8
+                    return {
+                        "image": z["image_bf16"].view(ml_dtypes.bfloat16),
+                        "label": z["label_u8"],
+                        "case_id": rec.case_id,
+                    }
+                return {  # v1 fp32 entries stay readable
                     "image": z["image"],
                     "label": z["label"],
                     "case_id": rec.case_id,
                 }
 
         channels = [self._load_modality(rec, m) for m in self.modalities]
-        image = np.stack(channels, axis=-1).astype(np.float32)  # (D,H,W,C)
+        image = (
+            np.stack(channels, axis=-1)
+            .astype(np.float32)
+            .astype(ml_dtypes.bfloat16)
+        )  # (D,H,W,C)
 
         label_vol = read_volume(rec.label_path)
         label = resample_array(label_vol.data, self.target_size, mode="nearest")
-        label = (label > 0).astype(np.float32)[..., None]  # (D,H,W,1)
+        label = (label > 0).astype(np.uint8)[..., None]  # (D,H,W,1)
 
         if self.cache_dir:
             tmp = cpath + ".tmp.npz"
-            np.savez(tmp, image=image, label=label)
+            np.savez(tmp, image_bf16=image.view(np.uint16), label_u8=label)
             os.replace(tmp, cpath)
 
         return {"image": image, "label": label, "case_id": rec.case_id}

@@ -262,6 +262,53 @@ def background_prefetch(iterator, depth: int = 2):
         yield item
 
 
+def prefetch_to_device_concurrent(
+    iterator, sharding=None, workers: int = 2, depth: int = 3
+):
+    """Device prefetch with ``workers`` concurrent H2D transfers.
+
+    Over a tunneled/remote backend one ``jax.device_put`` streams at the
+    link's single-request rate and dominates the epoch (BENCH.md
+    "End-to-end training throughput"); issuing the next transfers while
+    the current one is in flight pipelines the link. Batches are yielded
+    strictly in order. Single-process only — multi-host global batches
+    need lockstep construction across processes.
+    """
+    import jax
+
+    from collections import deque as _deque
+    from concurrent.futures import ThreadPoolExecutor as _Pool
+
+    def put(batch):
+        out = {}
+        for k, v in batch.items():
+            if isinstance(v, np.ndarray):
+                s = sharding(v) if callable(sharding) else sharding
+                out[k] = (
+                    jax.device_put(v, s) if s is not None else jax.device_put(v)
+                )
+            else:
+                out[k] = v
+        # block in the worker so the yield below hands over a
+        # transfer-complete batch (otherwise ordering gains nothing)
+        jax.block_until_ready(
+            [a for a in out.values() if isinstance(a, jax.Array)]
+        )
+        return out
+
+    with _Pool(max_workers=max(1, workers)) as pool:
+        pending = _deque()
+        it = iter(iterator)
+        for item in itertools.islice(it, max(1, depth)):
+            pending.append(pool.submit(put, item))
+        while pending:
+            f = pending.popleft()
+            nxt = next(it, None)
+            if nxt is not None:
+                pending.append(pool.submit(put, nxt))
+            yield f.result()
+
+
 def prefetch_to_device(iterator, size: int = 2, sharding=None):
     """Move batches to device ahead of consumption (double buffering).
 

@@ -24,6 +24,7 @@ import os
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
+import ml_dtypes
 import numpy as np
 
 from pcmseg_tpu.core.config import Config, DEFAULT_MODALITIES
@@ -90,7 +91,11 @@ def load_multimodal_images(
         channels.append(
             normalize_intensity(data, normalize, norm_percentiles)
         )
-    return np.stack(channels, axis=-1).astype(np.float32), reference
+    # bf16 wire format: the net computes in bf16 anyway (rounding once
+    # host-side is numerics-identical) and halving the volume halves the
+    # host->device transfer — material for serving over tunneled backends
+    stacked = np.stack(channels, axis=-1).astype(np.float32)
+    return stacked.astype(ml_dtypes.bfloat16), reference
 
 
 class Predictor:
@@ -205,7 +210,11 @@ class Predictor:
         sliding-window tiling otherwise (or always when
         config.sliding_window is set).
         """
-        image = np.asarray(image, dtype=np.float32)
+        # bf16 on the wire: the net casts to bf16 at its first layer, so
+        # rounding here is numerics-identical and halves the H2D transfer
+        image = np.asarray(image)
+        if image.dtype != ml_dtypes.bfloat16:
+            image = image.astype(np.float32).astype(ml_dtypes.bfloat16)
         if image.ndim != 4:
             raise ValueError(f"expected (D,H,W,C), got {image.shape}")
         ws = self.config.window_size

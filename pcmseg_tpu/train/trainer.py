@@ -233,26 +233,38 @@ class Trainer:
         # loaders pad every batch to a DP-divisible size, so batches are
         # always sharded — no replicated-tail special case, no retrace
         multiproc = self.process_count > 1
+
+        def host_batches():
+            for batch in loader:
+                # real (unpadded) sample count, recorded host-side:
+                # globally sharded arrays aren't addressable from one
+                # process
+                batch["n_real"] = float(np.sum(batch["weight"]))
+                yield batch
+
         if multiproc:
+            # global batches must be built in lockstep across processes —
+            # no concurrent transfers here
             from pcmseg_tpu.parallel.multihost import make_global_batch
 
-        for batch in loader:
-            # real (unpadded) sample count, recorded host-side: globally
-            # sharded arrays aren't addressable from one process
-            n_real = float(np.sum(batch["weight"]))
-            if multiproc:
+            for batch in host_batches():
+                n_real = batch.pop("n_real")
                 out = make_global_batch(batch, self.mesh)
-            else:
-                out = {
-                    k: (
-                        jax.device_put(v, batch_sharding(self.mesh, v.ndim))
-                        if isinstance(v, np.ndarray)
-                        else v
-                    )
-                    for k, v in batch.items()
-                }
-            out["n_real"] = n_real
-            yield out
+                out["n_real"] = n_real
+                yield out
+            return
+
+        # concurrent H2D: over a tunneled backend one device_put streams at
+        # the link's single-request rate; two in flight pipeline the link
+        # (measured: BENCH.md "End-to-end training throughput")
+        from pcmseg_tpu.data.loader import prefetch_to_device_concurrent
+
+        yield from prefetch_to_device_concurrent(
+            host_batches(),
+            sharding=lambda v: batch_sharding(self.mesh, v.ndim),
+            workers=2,
+            depth=max(2, self.config.prefetch + 1),
+        )
 
     def train_epoch(self) -> float:
         from pcmseg_tpu.data.loader import background_prefetch

@@ -31,6 +31,15 @@ from pcmseg_tpu.core.cache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
 
+# keep the preprocessing cache (config default 'auto') out of ~/.cache
+# during tests: content keys make cross-test collisions impossible, but
+# tmpdir-generated synthetic trees would still accrete entries there
+import tempfile  # noqa: E402
+
+os.environ.setdefault(
+    "PCMSEG_CACHE_DIR", tempfile.mkdtemp(prefix="pcmseg_test_cache_")
+)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -6,6 +6,7 @@ import shutil
 
 import numpy as np
 import pytest
+from dataclasses import replace
 
 from pcmseg_tpu.data.io import read_volume
 from pcmseg_tpu.data.synthetic import make_synthetic_dataset
@@ -156,7 +157,8 @@ def test_warm_cache_populates_and_shards(served, tmp_path):
     assert again["warmed"] == 0 and again["already_cached"] == N_CASES
 
     with pytest.raises(ValueError):
-        warm_cache(config)  # no cache_dir set
+        # cache_dir defaults to 'auto' now; disabling it must still raise
+        warm_cache(replace(config, cache_dir=None))
     with pytest.raises(ValueError):
         warm_cache(cfg, process_index=2, process_count=2)
 

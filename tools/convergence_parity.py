@@ -62,8 +62,13 @@ def main():
             root, target_size=(args.size,) * 3, normalize="percentile"
         )
         samples = [ds[i] for i in range(len(ds))]
-        images = np.stack([s["image"] for s in samples])  # (N,D,H,W,C)
-        labels = np.stack([s["label"] for s in samples])  # (N,D,H,W,1)
+        # fp32 for the torch side (the pipeline's wire format is bf16/uint8)
+        images = np.stack(
+            [s["image"] for s in samples]
+        ).astype(np.float32)  # (N,D,H,W,C)
+        labels = np.stack(
+            [s["label"] for s in samples]
+        ).astype(np.float32)  # (N,D,H,W,1)
 
         # ---- ours ----------------------------------------------------------
         config = get_config(

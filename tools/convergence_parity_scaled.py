@@ -105,8 +105,13 @@ def main():
             normalize="percentile",
         )
         samples = [ds[i] for i in range(len(ds))]
-        images = np.stack([s["image"] for s in samples])  # (N,D,H,W,C)
-        labels = np.stack([s["label"] for s in samples])  # (N,D,H,W,1)
+        # fp32 for the torch side (the pipeline's wire format is bf16/uint8)
+        images = np.stack(
+            [s["image"] for s in samples]
+        ).astype(np.float32)  # (N,D,H,W,C)
+        labels = np.stack(
+            [s["label"] for s in samples]
+        ).astype(np.float32)  # (N,D,H,W,1)
         n = len(samples)
         val_idx = list(range(args.val_cases))  # held-out split
         train_idx = list(range(args.val_cases, n))
