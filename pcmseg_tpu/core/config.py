@@ -63,6 +63,12 @@ class Config:
     # "End-to-end training throughput"). None/'' disables.
     cache_dir: Optional[str] = "auto"
     prefetch: int = 2  # device prefetch depth (double buffering)
+    # Device-resident dataset cache (single-process, single-chip meshes):
+    # when the whole preprocessed dataset (bf16 images + uint8 labels)
+    # fits this HBM budget, the trainer uploads it once and gathers
+    # batches on device — no per-epoch host->device streaming, with
+    # augmentation applied on device (data/device_cache.py). 0 disables.
+    device_data_cache_gb: float = 4.0
     shuffle_buffer_seed: int = 0
 
     # ---- training ---------------------------------------------------------

@@ -1,0 +1,178 @@
+"""Device-resident dataset cache: batches assembled ON the TPU.
+
+The end-to-end profile (BENCH.md "End-to-end training throughput") shows
+the training loop is host→device-transfer-bound: the 128³ step computes
+in ~1.1 s while each batch streams for ~2-3 s, even in bf16 with
+concurrent transfers. For datasets that fit HBM alongside the training
+step (the reference's whole BPH cohort is ~240 cases ≈ 5.5 GB in
+bf16+uint8; typical fold subsets far less), the TPU-native answer is to
+upload every preprocessed case ONCE and never stream again:
+
+  * the full (N, D, H, W, C) bf16 image stack and (N, D, H, W, 1) uint8
+    label stack live in HBM as ordinary jax.Arrays;
+  * each step receives only a (B,) int32 index vector (+ (B,) weights and
+    a PRNG key) — a few hundred bytes — and gathers its batch with
+    ``jnp.take`` inside the jitted step;
+  * data augmentation runs on device (flips / H-W rot90 / intensity
+    jitter as ``jnp.where``-selected reversals and transposes — memory
+    ops, negligible next to the convs), so cached training still sees
+    fresh augmentation every epoch.
+
+Scope: single-process, single-device mesh (the multi-chip path keeps the
+per-host streaming loader; a replicated device cache would multiply HBM
+cost by the device count). The trainer enables it automatically when the
+dataset fits ``config.device_data_cache_gb`` (0 disables).
+
+Augmentation parity note: device augmentation draws from the JAX PRNG,
+not the host NumPy generator, so a cached run's augmentation stream
+differs from a streamed run's — same distribution, different draws.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def dataset_device_bytes(n_cases: int, target_size, n_modalities: int) -> int:
+    """HBM footprint of a cached dataset (bf16 images + uint8 labels)."""
+    vox = int(np.prod(target_size))
+    return n_cases * vox * (2 * n_modalities + 1)
+
+
+def build_device_cache(
+    dataset,
+    num_workers: int = 4,
+    device=None,
+) -> Dict[str, object]:
+    """Decode every case (threaded, cache-assisted) and upload the stacks.
+
+    Returns {'images': (N,D,H,W,C) bf16 jax.Array, 'labels': (N,D,H,W,1)
+    uint8 jax.Array, 'case_ids': [str]} — index i corresponds to
+    ``dataset.case_list[i]`` so existing train/val index splits apply
+    unchanged.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    import ml_dtypes
+
+    n = len(dataset)
+    samples: list = [None] * n
+    with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
+        for i, s in zip(range(n), pool.map(dataset.load_case, range(n))):
+            samples[i] = s
+    images = np.stack([s["image"] for s in samples]).astype(ml_dtypes.bfloat16)
+    labels = np.stack([s["label"] for s in samples]).astype(np.uint8)
+    case_ids = [s["case_id"] for s in samples]
+    put = (
+        (lambda a: jax.device_put(a, device))
+        if device is not None
+        else jax.device_put
+    )
+    return {
+        "images": put(images),
+        "labels": put(labels),
+        "case_ids": case_ids,
+    }
+
+
+def device_augment(
+    images: jnp.ndarray,
+    labels: jnp.ndarray,
+    key: jax.Array,
+    flip: bool = True,
+    rot90: bool = True,
+    intensity_jitter: float = 0.1,
+):
+    """On-device, per-sample augmentation of a (B, D, H, W, C) batch.
+
+    Mirrors data/augment.py's host augmentations (axis flips p=0.5, H-W
+    plane 90° rotations — 180° only for non-square H-W, matching the
+    host rule — and intensity scale/shift jitter) with jnp ops that XLA
+    fuses into the step. Labels follow the spatial ops only.
+    """
+    b = images.shape[0]
+    square = images.shape[2] == images.shape[3]
+
+    def one(img, lab, k):
+        kf, kr, ks, kh = jax.random.split(k, 4)
+        if flip:
+            flags = jax.random.bernoulli(kf, 0.5, (3,))
+            for ax, flag in enumerate(flags):
+                img = jnp.where(flag, jnp.flip(img, axis=ax), img)
+                lab = jnp.where(flag, jnp.flip(lab, axis=ax), lab)
+        if rot90:
+            k4 = jax.random.randint(kr, (), 0, 4)
+            if not square:
+                k4 = k4 - (k4 % 2)  # odd k would swap H/W extents
+
+            def rot(x):
+                # k=1: (H,W) -> rot90 == transpose + flip H
+                r1 = jnp.flip(jnp.swapaxes(x, 1, 2), axis=1)
+                r2 = jnp.flip(jnp.flip(x, axis=1), axis=2)
+                r3 = jnp.flip(jnp.swapaxes(x, 1, 2), axis=2)
+                return jax.lax.switch(
+                    k4, [lambda: x, lambda: r1, lambda: r2, lambda: r3]
+                )
+
+            if square:
+                img, lab = rot(img), rot(lab)
+            else:
+                r2i = jnp.flip(jnp.flip(img, axis=1), axis=2)
+                r2l = jnp.flip(jnp.flip(lab, axis=1), axis=2)
+                img = jnp.where(k4 == 2, r2i, img)
+                lab = jnp.where(k4 == 2, r2l, lab)
+        if intensity_jitter > 0:
+            scale = 1.0 + jax.random.uniform(
+                ks, (), minval=-intensity_jitter, maxval=intensity_jitter
+            )
+            std = jnp.std(img.astype(jnp.float32))
+            shift = jax.random.uniform(
+                kh, (), minval=-intensity_jitter, maxval=intensity_jitter
+            ) * jnp.where(std > 0, std, 1.0)
+            img = (img.astype(jnp.float32) * scale + shift).astype(img.dtype)
+        return img, lab
+
+    keys = jax.random.split(key, b)
+    return jax.vmap(one)(images, labels, keys)
+
+
+def make_cached_train_step(model, config, base_step):
+    """Wrap a (state, batch) train step as (state, images, labels, idx,
+    weights, key) -> (state, metrics) gathering the batch from the
+    device-resident stacks inside jit."""
+    use_aug = bool(config.data_augmentation)
+
+    def step(state, images, labels, idx, weights, key):
+        img = jnp.take(images, idx, axis=0)
+        lab = jnp.take(labels, idx, axis=0)
+        if use_aug:
+            img, lab = device_augment(
+                img,
+                lab,
+                key,
+                flip=config.aug_flip,
+                rot90=config.aug_rot90,
+                intensity_jitter=config.aug_intensity_jitter,
+            )
+        return base_step(
+            state, {"image": img, "label": lab, "weight": weights}
+        )
+
+    return step
+
+
+def make_cached_eval_step(model, config, base_eval):
+    """Same gathering wrapper for the eval step (no augmentation)."""
+
+    def step(state, images, labels, idx, weights):
+        img = jnp.take(images, idx, axis=0)
+        lab = jnp.take(labels, idx, axis=0)
+        return base_eval(
+            state, {"image": img, "label": lab, "weight": weights}
+        )
+
+    return step

@@ -178,6 +178,46 @@ class Trainer:
         )
         self._eval_step = jit_eval_step(make_eval_step(self.model, config))
 
+        # -- device-resident dataset cache (single-chip fast path) -----------
+        # the streaming loader is H2D-transfer-bound (BENCH.md "End-to-end
+        # training throughput"); when the whole preprocessed dataset fits
+        # the HBM budget, upload it once and gather batches on device
+        self._dcache = None
+        if (
+            self.process_count == 1
+            and int(np.prod(tuple(self.mesh.shape.values()))) == 1
+            and getattr(config, "device_data_cache_gb", 0) > 0
+        ):
+            from pcmseg_tpu.data.device_cache import (
+                build_device_cache,
+                dataset_device_bytes,
+                make_cached_eval_step,
+                make_cached_train_step,
+            )
+
+            need = dataset_device_bytes(
+                len(self.dataset), config.target_size, config.n_modalities
+            )
+            if need <= config.device_data_cache_gb * 1e9:
+                self.log.info(
+                    "device data cache: %d cases resident in HBM (%.2f GB)",
+                    len(self.dataset),
+                    need / 1e9,
+                )
+                self._dcache = build_device_cache(self.dataset, num_workers=4)
+                self._cached_train_step = jax.jit(
+                    make_cached_train_step(
+                        self.model, config, make_train_step(self.model, config)
+                    ),
+                    donate_argnums=(0,) if config.donate_state else (),
+                )
+                self._cached_eval_step = jax.jit(
+                    make_cached_eval_step(
+                        self.model, config, make_eval_step(self.model, config)
+                    )
+                )
+        self._epochs_run = 0
+
         self.scheduler = ReduceLROnPlateau.from_config(config)
         self.early_stopping = EarlyStopping(patience=config.patience)
         self.history: Dict[str, List[float]] = {"train_loss": [], "val_loss": []}
@@ -221,6 +261,7 @@ class Trainer:
         self.history = meta.get("history", self.history)
         self.best_monitor = meta.get("best_monitor", float("inf"))
         self.start_epoch = int(meta.get("epoch", -1)) + 1
+        self._epochs_run = self.start_epoch  # fresh shuffles after resume
         if "scheduler" in meta:
             self.scheduler.load_state_dict(meta["scheduler"])
         if "early_stopping" in meta:
@@ -266,9 +307,63 @@ class Trainer:
             depth=max(2, self.config.prefetch + 1),
         )
 
+    def _index_batches(self, indices, shuffle: bool, epoch: int):
+        """Padded (idx, weights) batches over the device-resident cache."""
+        from pcmseg_tpu.data.loader import _padded_plan
+
+        order = list(indices)
+        if shuffle:
+            rng = np.random.default_rng(self.config.seed + epoch)
+            rng.shuffle(order)
+        bs = self.config.batch_size
+        for i in range(0, len(order), bs):
+            picked, weights = _padded_plan(order[i : i + bs], bs)
+            yield (
+                np.asarray(picked, np.int32),
+                np.asarray(weights, np.float32),
+            )
+
+    def _train_epoch_cached(self) -> float:
+        cache = self._dcache
+        epoch = self._epochs_run
+        key = jax.random.key(self.config.seed * 9973 + epoch)
+        losses = []
+        for step_idx, (idx, weights) in enumerate(
+            self._index_batches(self.train_indices, True, epoch)
+        ):
+            key, sub = jax.random.split(key)
+            n = int(weights.sum())
+            self.tracer.on_step(step_idx)
+            self.timer.start()
+            self.state, metrics = self._cached_train_step(
+                self.state, cache["images"], cache["labels"], idx, weights, sub
+            )
+            loss = float(metrics["loss"])  # D2H sync once per step
+            self.timer.stop(items=n)
+            if not np.isfinite(loss):
+                raise FloatingPointError(
+                    f"non-finite training loss ({loss}) at step "
+                    f"{int(self.state.step)} — aborting instead of training on"
+                )
+            losses.append(loss)
+            if self.config.print_frequency and (
+                (step_idx + 1) % max(self.config.print_frequency, 1) == 0
+            ):
+                self.log.info(
+                    "batch %d: loss %.4f (%.2f vol/s)",
+                    step_idx + 1, loss, self.timer.items_per_sec,
+                )
+        self.tracer.close()
+        return float(np.mean(losses)) if losses else float("nan")
+
     def train_epoch(self) -> float:
         from pcmseg_tpu.data.loader import background_prefetch
 
+        if self._dcache is not None:
+            try:
+                return self._train_epoch_cached()
+            finally:
+                self._epochs_run += 1
         losses = []
         for step_idx, batch in enumerate(
             background_prefetch(
@@ -315,6 +410,23 @@ class Trainer:
     def validate_epoch(self) -> Dict[str, float]:
         losses = []
         dice_sum = iou_sum = w_sum = 0.0
+        if self._dcache is not None:
+            cache = self._dcache
+            for idx, weights in self._index_batches(
+                self.val_indices, False, 0
+            ):
+                m = self._cached_eval_step(
+                    self.state, cache["images"], cache["labels"], idx, weights
+                )
+                losses.append(float(m["loss"]))
+                dice_sum += float(m["dice_sum"])
+                iou_sum += float(m["iou_sum"])
+                w_sum += float(m["weight_sum"])
+            return {
+                "loss": float(np.mean(losses)),
+                "dice": dice_sum / max(w_sum, 1.0),
+                "iou": iou_sum / max(w_sum, 1.0),
+            }
         for batch in self._device_batches(self.val_loader):
             m = self._eval_step(
                 self.state,
