@@ -59,6 +59,12 @@ def build_device_cache(
 
     import ml_dtypes
 
+    # memoized per dataset: CV builds one Trainer per fold over the SAME
+    # dataset — the immutable HBM stacks are shared, not re-uploaded
+    memo = getattr(dataset, "_device_cache_memo", None)
+    if memo is not None:
+        return memo
+
     n = len(dataset)
     samples: list = [None] * n
     with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
@@ -72,11 +78,16 @@ def build_device_cache(
         if device is not None
         else jax.device_put
     )
-    return {
+    cache = {
         "images": put(images),
         "labels": put(labels),
         "case_ids": case_ids,
     }
+    try:
+        dataset._device_cache_memo = cache
+    except AttributeError:
+        pass
+    return cache
 
 
 def device_augment(
