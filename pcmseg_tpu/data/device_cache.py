@@ -18,10 +18,13 @@ upload every preprocessed case ONCE and never stream again:
     ops, negligible next to the convs), so cached training still sees
     fresh augmentation every epoch.
 
-Scope: single-process, single-device mesh (the multi-chip path keeps the
-per-host streaming loader; a replicated device cache would multiply HBM
-cost by the device count). The trainer enables it automatically when the
-dataset fits ``config.device_data_cache_gb`` (0 disables).
+Scope: single-process meshes of any shape. On multi-device meshes the
+stacks shard over ('data' × case axis, 'spatial' × D axis) — per-device
+cost is total/(dp·sp) and the in-step gather's cross-shard traffic rides
+ICI via GSPMD-inserted collectives (still orders of magnitude faster
+than host streaming). Multi-host keeps the per-process streaming loader.
+The trainer enables the cache automatically when the per-device share
+fits ``config.device_data_cache_gb`` (0 disables).
 
 Augmentation parity note: device augmentation draws from the JAX PRNG,
 not the host NumPy generator, so a cached run's augmentation stream
@@ -43,27 +46,43 @@ def dataset_device_bytes(n_cases: int, target_size, n_modalities: int) -> int:
     return n_cases * vox * (2 * n_modalities + 1)
 
 
+def cache_sharding(mesh):
+    """NamedSharding of the cached stacks over a ('data','spatial',...)
+    mesh: the case axis shards over 'data' and the volume's D axis over
+    'spatial', so no device holds more than total/(dp*sp) bytes and the
+    in-step gather's cross-shard traffic rides ICI (GSPMD inserts the
+    collectives)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P("data", "spatial"))
+
+
 def build_device_cache(
     dataset,
     num_workers: int = 4,
-    device=None,
+    mesh=None,
 ) -> Dict[str, object]:
     """Decode every case (threaded, cache-assisted) and upload the stacks.
 
     Returns {'images': (N,D,H,W,C) bf16 jax.Array, 'labels': (N,D,H,W,1)
     uint8 jax.Array, 'case_ids': [str]} — index i corresponds to
     ``dataset.case_list[i]`` so existing train/val index splits apply
-    unchanged.
+    unchanged. With a ``mesh``, the stacks are sharded per
+    :func:`cache_sharding` (the case axis is zero-padded up to a
+    data-axis multiple; padded rows are never indexed).
     """
     from concurrent.futures import ThreadPoolExecutor
 
     import ml_dtypes
 
-    # memoized per dataset: CV builds one Trainer per fold over the SAME
-    # dataset — the immutable HBM stacks are shared, not re-uploaded
-    memo = getattr(dataset, "_device_cache_memo", None)
-    if memo is not None:
-        return memo
+    # memoized per (dataset, mesh shape): CV builds one Trainer per fold
+    # over the SAME dataset — the immutable HBM stacks are shared, not
+    # re-uploaded (a different mesh needs a different sharding, so it
+    # gets its own entry)
+    memo_key = tuple(mesh.shape.items()) if mesh is not None else None
+    memo = getattr(dataset, "_device_cache_memo", {})
+    if memo_key in memo:
+        return memo[memo_key]
 
     n = len(dataset)
     samples: list = [None] * n
@@ -73,18 +92,25 @@ def build_device_cache(
     images = np.stack([s["image"] for s in samples]).astype(ml_dtypes.bfloat16)
     labels = np.stack([s["label"] for s in samples]).astype(np.uint8)
     case_ids = [s["case_id"] for s in samples]
-    put = (
-        (lambda a: jax.device_put(a, device))
-        if device is not None
-        else jax.device_put
-    )
+
+    if mesh is not None and int(np.prod(tuple(mesh.shape.values()))) > 1:
+        dp = mesh.shape["data"]
+        if n % dp:
+            pad = dp - n % dp
+            images = np.concatenate([images, np.zeros_like(images[:pad])])
+            labels = np.concatenate([labels, np.zeros_like(labels[:pad])])
+        sh = cache_sharding(mesh)
+        put = lambda a: jax.device_put(a, sh)  # noqa: E731
+    else:
+        put = jax.device_put
     cache = {
         "images": put(images),
         "labels": put(labels),
         "case_ids": case_ids,
     }
     try:
-        dataset._device_cache_memo = cache
+        memo[memo_key] = cache
+        dataset._device_cache_memo = memo
     except AttributeError:
         pass
     return cache
@@ -151,15 +177,32 @@ def device_augment(
     return jax.vmap(one)(images, labels, keys)
 
 
-def make_cached_train_step(model, config, base_step):
+def _batch_constraint(mesh):
+    """Constrain gathered batches to the training batch sharding (batch
+    over 'data', D over 'spatial') so GSPMD reshards the gather output
+    instead of keeping it replicated."""
+    if mesh is None:
+        return lambda x: x
+    from pcmseg_tpu.parallel.sharding import batch_sharding
+
+    def constrain(x):
+        return jax.lax.with_sharding_constraint(
+            x, batch_sharding(mesh, x.ndim)
+        )
+
+    return constrain
+
+
+def make_cached_train_step(model, config, base_step, mesh=None):
     """Wrap a (state, batch) train step as (state, images, labels, idx,
     weights, key) -> (state, metrics) gathering the batch from the
     device-resident stacks inside jit."""
     use_aug = bool(config.data_augmentation)
+    constrain = _batch_constraint(mesh)
 
     def step(state, images, labels, idx, weights, key):
-        img = jnp.take(images, idx, axis=0)
-        lab = jnp.take(labels, idx, axis=0)
+        img = constrain(jnp.take(images, idx, axis=0))
+        lab = constrain(jnp.take(labels, idx, axis=0))
         if use_aug:
             img, lab = device_augment(
                 img,
@@ -176,12 +219,13 @@ def make_cached_train_step(model, config, base_step):
     return step
 
 
-def make_cached_eval_step(model, config, base_eval):
+def make_cached_eval_step(model, config, base_eval, mesh=None):
     """Same gathering wrapper for the eval step (no augmentation)."""
+    constrain = _batch_constraint(mesh)
 
     def step(state, images, labels, idx, weights):
-        img = jnp.take(images, idx, axis=0)
-        lab = jnp.take(labels, idx, axis=0)
+        img = constrain(jnp.take(images, idx, axis=0))
+        lab = constrain(jnp.take(labels, idx, axis=0))
         return base_eval(
             state, {"image": img, "label": lab, "weight": weights}
         )

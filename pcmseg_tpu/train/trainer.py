@@ -125,6 +125,7 @@ class Trainer:
 
         q = dp * self.process_count // math.gcd(dp, self.process_count)
         pad_to = -(-config.batch_size // q) * q
+        self._pad_to = pad_to
         process_shard = (
             (self.process_index, self.process_count)
             if self.process_count > 1
@@ -183,9 +184,9 @@ class Trainer:
         # training throughput"); when the whole preprocessed dataset fits
         # the HBM budget, upload it once and gather batches on device
         self._dcache = None
+        mesh_size = int(np.prod(tuple(self.mesh.shape.values())))
         if (
             self.process_count == 1
-            and int(np.prod(tuple(self.mesh.shape.values()))) == 1
             and getattr(config, "device_data_cache_gb", 0) > 0
         ):
             from pcmseg_tpu.data.device_cache import (
@@ -195,25 +196,39 @@ class Trainer:
                 make_cached_train_step,
             )
 
+            # the stacks shard over ('data','spatial'): per-device cost is
+            # total/(dp*sp), so the budget is per-DEVICE HBM
+            shards = self.mesh.shape["data"] * self.mesh.shape["spatial"]
             need = dataset_device_bytes(
                 len(self.dataset), config.target_size, config.n_modalities
-            )
+            ) / shards
             if need <= config.device_data_cache_gb * 1e9:
                 self.log.info(
-                    "device data cache: %d cases resident in HBM (%.2f GB)",
+                    "device data cache: %d cases resident in HBM "
+                    "(%.2f GB/device over %d shard(s))",
                     len(self.dataset),
                     need / 1e9,
+                    shards,
                 )
-                self._dcache = build_device_cache(self.dataset, num_workers=4)
+                cache_mesh = self.mesh if mesh_size > 1 else None
+                self._dcache = build_device_cache(
+                    self.dataset, num_workers=4, mesh=cache_mesh
+                )
                 self._cached_train_step = jax.jit(
                     make_cached_train_step(
-                        self.model, config, make_train_step(self.model, config)
+                        self.model,
+                        config,
+                        make_train_step(self.model, config),
+                        mesh=cache_mesh,
                     ),
                     donate_argnums=(0,) if config.donate_state else (),
                 )
                 self._cached_eval_step = jax.jit(
                     make_cached_eval_step(
-                        self.model, config, make_eval_step(self.model, config)
+                        self.model,
+                        config,
+                        make_eval_step(self.model, config),
+                        mesh=cache_mesh,
                     )
                 )
         self._epochs_run = 0
@@ -317,7 +332,7 @@ class Trainer:
             rng.shuffle(order)
         bs = self.config.batch_size
         for i in range(0, len(order), bs):
-            picked, weights = _padded_plan(order[i : i + bs], bs)
+            picked, weights = _padded_plan(order[i : i + bs], self._pad_to)
             yield (
                 np.asarray(picked, np.int32),
                 np.asarray(weights, np.float32),

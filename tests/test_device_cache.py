@@ -42,7 +42,7 @@ def _cfg(data_root, tmp_path, name, **kw):
         val_fraction=0.25,
         data_augmentation=False,
         compute_dtype="float32",
-        data_parallel=1,
+        data_parallel=kw.pop("data_parallel", 1),
         donate_state=False,
         **kw,
     )
@@ -95,3 +95,37 @@ def test_device_augment_nonsquare_never_swaps_extents():
         )
         assert a_img.shape == img.shape
         assert a_lab.shape == lab.shape
+
+
+def test_cached_epoch_matches_streaming_sharded(data_root, tmp_path):
+    """Sharded mesh: HBM stacks shard over ('data','spatial'), batches are
+    gathered inside jit with GSPMD collectives — must reproduce the
+    streaming DP run exactly (augmentation off)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    histories = {}
+    for name, gb in (("stream", 0.0), ("cached", 1.0)):
+        cfg = _cfg(
+            data_root,
+            tmp_path,
+            "sh_" + name,
+            device_data_cache_gb=gb,
+            data_parallel=2,
+            spatial_parallel=2,
+        )
+        tr = Trainer(cfg)
+        assert (tr._dcache is not None) == (name == "cached")
+        if name == "cached":
+            shard_shapes = {
+                s.data.shape for s in tr._dcache["images"].addressable_shards
+            }
+            n_pad = tr._dcache["images"].shape[0]
+            assert all(s[0] < n_pad for s in shard_shapes)  # case axis split
+        loss = tr.train_epoch()
+        val = tr.validate_epoch()
+        histories[name] = (loss, val["loss"], val["dice"])
+    np.testing.assert_allclose(
+        histories["cached"], histories["stream"], rtol=1e-5
+    )

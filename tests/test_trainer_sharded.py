@@ -27,6 +27,9 @@ def _cfg(root, save_dir, **kw):
         num_epochs=1,
         validation=False,
         early_stopping=False,
+        # keep these tests on the STREAMING sharded path (the cached
+        # sharded path has its own coverage in test_device_cache.py)
+        device_data_cache_gb=kw.pop("device_data_cache_gb", 0.0),
         **kw,
     )
 
