@@ -38,6 +38,11 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                    choices=["percentile", "minmax", "zscore", "none"],
                    default=None)
     p.add_argument("--cache_dir", default=None)
+    p.add_argument(
+        "--device_cache_gb", type=float, default=None,
+        help="HBM budget for the device-resident dataset cache "
+             "(0 disables; default 4.0 — see BENCH.md)",
+    )
     p.add_argument("--norm_layer", choices=["batch", "group"], default=None)
 
 
@@ -174,6 +179,7 @@ def _config_from_args(args, preset: str = "standard", with_explicit: bool = Fals
         "seed": "seed",
         "normalize": "normalize",
         "cache_dir": "cache_dir",
+        "device_cache_gb": "device_data_cache_gb",
         "norm_layer": "norm_layer",
         "epochs": "num_epochs",
         "learning_rate": "learning_rate",

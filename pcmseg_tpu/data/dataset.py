@@ -22,8 +22,9 @@ Capability parity with the reference's ``ProstateDataset``
     every epoch (SURVEY.md §3.1 hot loop); we cache the processed
     (image, label) pair as .npz keyed by content-identity.
 
-Output layout is TPU-first channels-last: image (D, H, W, C), label
-(D, H, W, 1), both float32 host arrays.
+Output layout is TPU-first channels-last: image (D, H, W, C) bfloat16,
+label (D, H, W, 1) uint8 — the wire format the whole pipeline carries
+(see ``load_case``).
 """
 
 from __future__ import annotations
@@ -200,9 +201,15 @@ class ProstateDataset:
 
     # -- loading ---------------------------------------------------------------
 
+    # bump when the on-disk entry layout changes; keying the format keeps
+    # old-format entries from being served (mixing fp32 v1 with bf16 v2
+    # batches would retrace the step on every dtype flip)
+    _CACHE_FORMAT = "v2-bf16u8"
+
     def _cache_key(self, rec: CaseRecord) -> str:
         h = hashlib.sha1()
         h.update(repr((
+            self._CACHE_FORMAT,
             rec.case_id,
             self.target_size,
             self.normalize,
@@ -255,15 +262,12 @@ class ProstateDataset:
             cpath = os.path.join(self.cache_dir, self._cache_key(rec) + ".npz")
             if os.path.exists(cpath):
                 z = np.load(cpath)
-                if "image_bf16" in z:  # v2: bf16 bits as uint16 + uint8
-                    return {
-                        "image": z["image_bf16"].view(ml_dtypes.bfloat16),
-                        "label": z["label_u8"],
-                        "case_id": rec.case_id,
-                    }
-                return {  # v1 fp32 entries stay readable
-                    "image": z["image"],
-                    "label": z["label"],
+                # v2 layout: bf16 bits stored as uint16 (npz can't
+                # round-trip ml_dtypes) + uint8 labels; the format tag in
+                # the key guarantees no older-layout entry resolves here
+                return {
+                    "image": z["image_bf16"].view(ml_dtypes.bfloat16),
+                    "label": z["label_u8"],
                     "case_id": rec.case_id,
                 }
 

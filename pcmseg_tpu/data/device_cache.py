@@ -96,9 +96,13 @@ def build_device_cache(
     if mesh is not None and int(np.prod(tuple(mesh.shape.values()))) > 1:
         dp = mesh.shape["data"]
         if n % dp:
-            pad = dp - n % dp
-            images = np.concatenate([images, np.zeros_like(images[:pad])])
-            labels = np.concatenate([labels, np.zeros_like(labels[:pad])])
+            pad = dp - n % dp  # may exceed n (tiny cohort on a wide mesh)
+            images = np.concatenate(
+                [images, np.zeros((pad, *images.shape[1:]), images.dtype)]
+            )
+            labels = np.concatenate(
+                [labels, np.zeros((pad, *labels.shape[1:]), labels.dtype)]
+            )
         sh = cache_sharding(mesh)
         put = lambda a: jax.device_put(a, sh)  # noqa: E731
     else:

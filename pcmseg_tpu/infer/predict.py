@@ -91,11 +91,7 @@ def load_multimodal_images(
         channels.append(
             normalize_intensity(data, normalize, norm_percentiles)
         )
-    # bf16 wire format: the net computes in bf16 anyway (rounding once
-    # host-side is numerics-identical) and halving the volume halves the
-    # host->device transfer — material for serving over tunneled backends
-    stacked = np.stack(channels, axis=-1).astype(np.float32)
-    return stacked.astype(ml_dtypes.bfloat16), reference
+    return np.stack(channels, axis=-1).astype(np.float32), reference
 
 
 class Predictor:
@@ -210,11 +206,15 @@ class Predictor:
         sliding-window tiling otherwise (or always when
         config.sliding_window is set).
         """
-        # bf16 on the wire: the net casts to bf16 at its first layer, so
-        # rounding here is numerics-identical and halves the H2D transfer
+        # bf16 on the wire — only when the net computes in bf16 (it then
+        # casts at its first layer, so rounding here is numerics-identical
+        # and halves the H2D transfer); fp32-serving models keep fp32
         image = np.asarray(image)
-        if image.dtype != ml_dtypes.bfloat16:
-            image = image.astype(np.float32).astype(ml_dtypes.bfloat16)
+        if self.config.compute_dtype == "bfloat16":
+            if image.dtype != ml_dtypes.bfloat16:
+                image = image.astype(np.float32).astype(ml_dtypes.bfloat16)
+        elif image.dtype != np.float32:
+            image = image.astype(np.float32)
         if image.ndim != 4:
             raise ValueError(f"expected (D,H,W,C), got {image.shape}")
         ws = self.config.window_size

@@ -11,12 +11,12 @@ This op keeps the forward byte-identical to ``lax.conv_general_dilated``
 the backward:
 
   * dx: XLA's conv on the transformed kernel — conv-shaped, stays native.
-  * dW: selectable lowering:
-      - 'xla'      native AD (conv_grad_weights),
-      - 'pallas'   the windowed-matmul kernel (ops/pallas/conv3d_grad.py),
-      - 'decomp2d' the depth-decomposed form: dW of a 3³ conv is three
-        independent dWs of (1,3,3) convs over z-shifted inputs, which XLA
-        emits as well-tiled 2-D weight-gradient convs.
+  * dW: selectable lowering (``dw_impl``):
+      - 'xla'       native AD (conv_grad_weights),
+      - 'pallas'    the windowed-matmul kernel (ops/pallas/conv3d_grad.py),
+      - 'decomp_ad' AD of the depth-decomposed form: dx/dW of a 3³ conv
+        via three (1,3,3) convs over z-shifted inputs, which XLA emits as
+        well-tiled 2-D conv gradients.
 
 The decision of *where* to use which is measured (isolated A/B in
 tools/bench_conv_grad_split.py, then end-to-end train-step A/B),
@@ -94,9 +94,16 @@ def _bwd(dw_impl, res, dy):
         from pcmseg_tpu.ops.pallas.conv3d_grad import conv3x3_dw
 
         dw = conv3x3_dw(x, dy)
-    else:  # 'xla'
-        _, vjp = jax.vjp(lambda wc: _lax_conv(x, wc), w)
-        (dw,) = vjp(dy.astype(jnp.float32))
+    elif dw_impl == "xla":
+        # the cotangent must match the primal output dtype (bf16 under
+        # the production compute dtype)
+        primal, vjp = jax.vjp(lambda wc: _lax_conv(x, wc), w)
+        (dw,) = vjp(dy.astype(primal.dtype))
+    else:
+        raise ValueError(
+            f"unknown dw_impl {dw_impl!r}; expected "
+            "'decomp_ad', 'pallas', or 'xla'"
+        )
     return dx, dw.astype(w.dtype)
 
 

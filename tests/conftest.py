@@ -33,11 +33,14 @@ enable_compilation_cache()
 
 # keep the preprocessing cache (config default 'auto') out of ~/.cache
 # during tests: content keys make cross-test collisions impossible, but
-# tmpdir-generated synthetic trees would still accrete entries there
+# tmpdir-generated synthetic trees would still accrete entries there.
+# One STABLE directory (not mkdtemp-per-run, which would leak a populated
+# dir per pytest invocation) — the OS tmp reaper bounds it.
 import tempfile  # noqa: E402
 
 os.environ.setdefault(
-    "PCMSEG_CACHE_DIR", tempfile.mkdtemp(prefix="pcmseg_test_cache_")
+    "PCMSEG_CACHE_DIR",
+    os.path.join(tempfile.gettempdir(), "pcmseg_test_preproc_cache"),
 )
 
 import numpy as np  # noqa: E402

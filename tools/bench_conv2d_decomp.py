@@ -32,31 +32,17 @@ enable_compilation_cache()
 PEAK = 197e12
 
 
+from pcmseg_tpu.ops.hybrid_conv import _lax_conv, conv2d_decomp as _decomp
+
+
 def lax_conv(x, w):
-    return jax.lax.conv_general_dilated(
-        x, w, (1, 1, 1), ((1, 1), (1, 1), (1, 1)),
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-    ).astype(x.dtype)
+    # PRODUCTION lowerings imported (not copied) so the A/B always
+    # measures the code that ships
+    return _lax_conv(x, w).astype(x.dtype)
 
 
 def conv2d_decomp(x, w):
-    """3x3x3 SAME conv as 3 shifted (1,3,3)-kernel convs, summed.
-
-    No reshapes (an earlier N*D-folded variant forced a 32 GiB relayout
-    copy at 128^3); each term keeps NDHWC and uses a depth-1 kernel, which
-    XLA can emit as a batched 2-D conv.
-    """
-    d = x.shape[1]
-    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
-    y = None
-    for a in range(3):
-        ya = jax.lax.conv_general_dilated(
-            xp[:, a : a + d], w[a : a + 1], (1, 1, 1),
-            ((0, 0), (1, 1), (1, 1)),
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        )
-        y = ya if y is None else y + ya
-    return y.astype(x.dtype)
+    return _decomp(x, w).astype(x.dtype)
 
 
 def timed_chained(fn, x, w, iters=10):

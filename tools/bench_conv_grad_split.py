@@ -32,11 +32,13 @@ enable_compilation_cache()
 PEAK = 197e12
 
 
+from pcmseg_tpu.ops.hybrid_conv import _lax_conv, conv2d_decomp
+
+
 def lax_conv(x, w):
-    return jax.lax.conv_general_dilated(
-        x, w, (1, 1, 1), ((1, 1), (1, 1), (1, 1)),
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-    ).astype(x.dtype)
+    # the PRODUCTION conv lowering — imported, not copied, so the
+    # measurement always reflects the code that ships
+    return _lax_conv(x, w).astype(x.dtype)
 
 
 def timed(fn, x, w, dyv, iters=8):
@@ -114,10 +116,12 @@ def main():
         def f_pallas_dw(xc, wc, dyc):
             return probe_of(conv3x3_dw(xc, dyc))
 
-        from pcmseg_tpu.ops.hybrid_conv import _dw_decomp2d
-
         def f_decomp_dw(xc, wc, dyc):
-            return probe_of(_dw_decomp2d(xc, dyc))
+            # dW of the depth-decomposed form, via its AD (what the
+            # 'decomp_ad' hybrid backward actually runs)
+            _, vjp = jax.vjp(lambda wc2: conv2d_decomp(xc, wc2), wc)
+            (dwv,) = vjp(dyc)
+            return probe_of(dwv)
 
         row = {"spatial": sp, "cin": ci, "cout": co}
         for key, f in (
