@@ -33,8 +33,13 @@ def warm_cache(
     Returns a summary dict: cases warmed / already cached / failed, and
     wall time. Idempotent — a second run only stat()s the cache files.
     """
-    if not config.cache_dir:
-        raise ValueError("warm_cache requires config.cache_dir to be set")
+    from pcmseg_tpu.data.dataset import resolve_cache_dir
+
+    if not resolve_cache_dir(config.cache_dir):
+        # covers both cache_dir=None and 'auto' disabled via
+        # PCMSEG_CACHE_DIR="" — otherwise the dataset resolves to no cache
+        # and the os.path.join below dies with an opaque TypeError
+        raise ValueError("warm_cache requires an enabled cache_dir")
     if not (0 <= process_index < process_count):
         raise ValueError(
             f"process_index {process_index} out of range for "

@@ -100,15 +100,29 @@ class Predictor:
     def __init__(
         self,
         config: Config,
-        checkpoint_path: str,
+        checkpoint_path: Optional[str] = None,
         explicit: Sequence[str] = (),
+        preloaded=None,
     ):
-        from pcmseg_tpu.infer.validate import adopt_checkpoint_config
+        """``preloaded=(model, state)`` serves an already-loaded model
+        (e.g. the Validator's) through the full predictor pipeline — BN
+        folding, TTA, spatial sharding, tiling — without a second
+        checkpoint load; otherwise ``checkpoint_path`` is loaded and its
+        meta.json config adopted."""
+        if preloaded is not None:
+            self.config = config
+            self.log = get_logger("pcmseg.predict")
+            self.model, self.state = preloaded
+        else:
+            from pcmseg_tpu.infer.validate import adopt_checkpoint_config
 
-        config = adopt_checkpoint_config(config, checkpoint_path, explicit)
-        self.config = config
-        self.log = get_logger("pcmseg.predict")
-        self.model, self.state = load_model_state(config, checkpoint_path)
+            if checkpoint_path is None:
+                raise ValueError("checkpoint_path or preloaded required")
+            config = adopt_checkpoint_config(config, checkpoint_path, explicit)
+            self.config = config
+            self.log = get_logger("pcmseg.predict")
+            self.model, self.state = load_model_state(config, checkpoint_path)
+        config = self.config
 
         if config.fold_bn and config.norm_layer == "batch" and self.state.batch_stats:
             # serving-graph optimization: conv+BN -> conv (infer/fold_bn.py);
@@ -241,7 +255,17 @@ class Predictor:
                 # global mesh would demand collective participation from
                 # processes that aren't running this predict call.
                 mesh = None
-                if jax.process_count() == 1 and len(jax.local_devices()) > 1:
+                if (
+                    jax.process_count() == 1
+                    and len(jax.local_devices()) > 1
+                    and not self._spatial_sharded
+                ):
+                    # with spatial sharding active the inner apply already
+                    # constrains to its own device subset — a second mesh
+                    # over ALL local devices inside the same program would
+                    # be an incompatible device assignment (jit rejects
+                    # mixed assignments), so tiles then run unsharded
+                    # through the spatially-sharded net instead
                     from pcmseg_tpu.parallel.sharding import make_mesh
 
                     mesh = make_mesh(

@@ -44,6 +44,7 @@ class PredictionServer:
         output_name: str = "segmentation.nii.gz",
         explicit=(),
         min_age: float = 30.0,
+        max_attempts: int = 3,
     ):
         self.input_root = input_root
         self.output_dir = output_dir
@@ -56,6 +57,13 @@ class PredictionServer:
         # the checkpoint doesn't use and idle forever
         self.config = self.predictor.config
         self.min_age = min_age
+        self.max_attempts = max_attempts
+        # per-case failure counts: a case that keeps failing is
+        # quarantined after max_attempts instead of burning full inference
+        # on known-bad input every poll forever
+        self._attempts: Dict[str, int] = {}
+        # 'failed' counts DISTINCT failing cases; 'skipped' counts cases
+        # currently quarantined
         self.stats = {"done": 0, "failed": 0, "skipped": 0, "waiting": 0}
 
     # -- discovery -------------------------------------------------------------
@@ -110,11 +118,15 @@ class PredictionServer:
             return []
         out = []
         waiting = 0
+        quarantined = 0
         for name in sorted(os.listdir(self.input_root)):
             case_dir = os.path.join(self.input_root, name)
             if not self._is_case_dir(case_dir):
                 continue
             if os.path.exists(self._output_path(name)):
+                continue
+            if self._attempts.get(name, 0) >= self.max_attempts:
+                quarantined += 1
                 continue
             if not self._is_ready(case_dir):
                 waiting += 1
@@ -126,6 +138,7 @@ class PredictionServer:
                 continue
             out.append(name)
         self.stats["waiting"] = waiting
+        self.stats["skipped"] = quarantined
         return out
 
     # -- serving ---------------------------------------------------------------
@@ -158,9 +171,19 @@ class PredictionServer:
                 probs, reference, self._output_path(case_id)
             )
         except Exception as e:  # one bad case must not kill the server
-            self.stats["failed"] += 1
-            self.log.error("case %s failed: %s", case_id, e)
+            first_failure = case_id not in self._attempts
+            self._attempts[case_id] = self._attempts.get(case_id, 0) + 1
+            if first_failure:
+                self.stats["failed"] += 1  # distinct failing cases
+            if self._attempts[case_id] >= self.max_attempts:
+                self.log.error(
+                    "case %s failed %d times; quarantined: %s",
+                    case_id, self._attempts[case_id], e,
+                )
+            else:
+                self.log.error("case %s failed: %s", case_id, e)
             return None
+        self._attempts.pop(case_id, None)
         self.stats["done"] += 1
         self.log.info(
             "case %s → %s (%.2fs)", case_id, out, time.perf_counter() - t0

@@ -271,26 +271,12 @@ class Validator:
 
     def _native_predictor(self):
         """A Predictor sharing this Validator's already-loaded model/state
-        (no second checkpoint load), sliding-window enabled."""
+        (no second checkpoint load), built through the REAL constructor so
+        it keeps every serving feature (BN folding, TTA, spatial sharding,
+        tiling) in sync with the predict path."""
         from pcmseg_tpu.infer.predict import Predictor
 
-        p = Predictor.__new__(Predictor)
-        p.config = self.config.replace(sliding_window=False)
-        p.log = self.log
-        p.model, p.state = self.model, self.state
-        variables = {"params": self.state.params}
-        if self.state.batch_stats:
-            variables["batch_stats"] = self.state.batch_stats
-        p._variables = jax.device_put(variables)
-        apply = lambda vars_, x: self.model.apply(  # noqa: E731
-            vars_, x, method=UNet3D.predict
+        return Predictor(
+            self.config.replace(sliding_window=False),
+            preloaded=(self.model, self.state),
         )
-        if self.config.tta:
-            from pcmseg_tpu.infer.tta import make_tta_apply
-
-            apply = make_tta_apply(apply)
-        p._apply = jax.jit(apply)
-        p._predict = lambda x: p._apply(p._variables, x)
-        p._sw_fns = {}
-        p._spatial_sharded = False
-        return p

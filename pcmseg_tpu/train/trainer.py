@@ -27,7 +27,7 @@ import numpy as np
 
 from pcmseg_tpu.core.config import Config
 from pcmseg_tpu.data.dataset import ProstateDataset
-from pcmseg_tpu.data.loader import DataLoader, prefetch_to_device
+from pcmseg_tpu.data.loader import DataLoader
 from pcmseg_tpu.models import UNet3D
 from pcmseg_tpu.parallel.sharding import (
     batch_sharding,
@@ -123,7 +123,12 @@ class Trainer:
         # the loss via the batch's weight vector (VERDICT.md weak #5)
         import math
 
+        # padded batches must split across DP shards AND processes AND the
+        # gradient-accumulation microbatching (a pad_to divisible by dp but
+        # not accum_steps would trace-fail in make_train_step)
         q = dp * self.process_count // math.gcd(dp, self.process_count)
+        accum = max(1, int(getattr(config, "accum_steps", 1)))
+        q = q * accum // math.gcd(q, accum)
         pad_to = -(-config.batch_size // q) * q
         self._pad_to = pad_to
         process_shard = (

@@ -260,3 +260,33 @@ def test_prediction_write_is_atomic(served, tmp_path, monkeypatch):
     monkeypatch.setattr(predict_mod, "write_volume", real_write)
     predictor.predict_and_save(case_dir, out_path)
     assert os.path.exists(out_path)
+
+
+def test_serve_quarantines_repeat_failures(served, tmp_path, monkeypatch):
+    """A case that keeps failing is retried max_attempts times, counted as
+    ONE failed case, then quarantined out of pending_cases."""
+    from pcmseg_tpu.infer.serve import PredictionServer
+
+    config, root, save_dir = served
+    input_root = str(tmp_path / "q_inbox")
+    _stage_case(root, config.modalities, "case000", input_root)
+    server = PredictionServer(
+        config, os.path.join(save_dir, "best"), input_root,
+        str(tmp_path / "qout"), min_age=0, max_attempts=2,
+    )
+    calls = {"n": 0}
+
+    def boom(case_id):
+        calls["n"] += 1
+        raise RuntimeError("corrupt case")
+
+    monkeypatch.setattr(server, "_load", boom)
+    server.run_once()  # attempt 1 for every pending case
+    server.run_once()  # attempt 2 -> quarantine
+    n_cases = calls["n"] // 2
+    assert n_cases >= 1
+    server.run_once()  # all quarantined: no further attempts
+    assert calls["n"] == 2 * n_cases
+    assert server.stats["failed"] == n_cases  # distinct cases, not attempts
+    assert server.stats["skipped"] == n_cases
+    assert server.pending_cases() == []

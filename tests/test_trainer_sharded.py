@@ -23,7 +23,7 @@ def _cfg(root, save_dir, **kw):
         remat=False,
         compute_dtype="float32",
         target_size=(16, 16, 16),
-        batch_size=2,
+        batch_size=kw.pop("batch_size", 2),
         num_epochs=1,
         validation=False,
         early_stopping=False,
@@ -94,3 +94,22 @@ def test_trainer_val_indices_alone_trains_on_complement(data_root, tmp_path):
     )
     assert t.val_indices == [0, 5]
     assert t.train_indices == [1, 2, 3, 4]
+
+
+def test_padded_batch_divisible_by_accum(data_root, tmp_path):
+    """pad_to must honor accum_steps too: batch 6 / dp 4 / accum 3 pads to
+    12 (lcm), not 8 (which make_train_step would reject at trace time)."""
+    from pcmseg_tpu.train.trainer import Trainer
+
+    t = Trainer(
+        _cfg(
+            data_root,
+            str(tmp_path / "accum"),
+            data_parallel=4,
+            batch_size=6,
+            accum_steps=3,
+        )
+    )
+    assert t._pad_to % 3 == 0 and t._pad_to % 4 == 0
+    loss = t.train_epoch()
+    assert np.isfinite(loss)
