@@ -25,8 +25,13 @@ def test_nan_loss_aborts_training(tmp_path, monkeypatch):
         num_epochs=1,
         validation=False,
         early_stopping=False,
+        # pin the STREAMING path: the poisoning hook below patches
+        # _train_step, which the device-cached epoch doesn't use (the
+        # cached path's identical guard is tested separately below)
+        device_data_cache_gb=0.0,
     )
     t = trainer_mod.Trainer(config)
+    assert t._dcache is None
 
     real_step = t._train_step
 
@@ -36,6 +41,42 @@ def test_nan_loss_aborts_training(tmp_path, monkeypatch):
         return real_step(state, poisoned)
 
     t._train_step = poisoned_step
+    with pytest.raises(FloatingPointError):
+        t.train()
+
+
+def test_nan_loss_aborts_training_cached(tmp_path, monkeypatch):
+    """The device-cached epoch has the same non-finite-loss abort."""
+    from pcmseg_tpu.train import trainer as trainer_mod
+
+    root = str(tmp_path / "data")
+    make_synthetic_dataset(root, n_cases=2, shape=(12, 12, 12))
+    config = get_config(
+        "quick",
+        data_dir=root,
+        save_dir=str(tmp_path / "ckpt"),
+        base_features=4,
+        remat=False,
+        compute_dtype="float32",
+        target_size=(16, 16, 16),
+        batch_size=2,
+        num_epochs=1,
+        validation=False,
+        early_stopping=False,
+        data_parallel=1,
+        device_data_cache_gb=1.0,
+    )
+    t = trainer_mod.Trainer(config)
+    assert t._dcache is not None
+
+    real_step = t._cached_train_step
+
+    def poisoned_step(state, images, labels, idx, weights, key):
+        return real_step(
+            state, images * np.float32(np.nan), labels, idx, weights, key
+        )
+
+    t._cached_train_step = poisoned_step
     with pytest.raises(FloatingPointError):
         t.train()
 
