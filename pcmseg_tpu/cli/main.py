@@ -43,6 +43,11 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
         help="HBM budget for the device-resident dataset cache "
              "(0 disables; default 4.0 — see BENCH.md)",
     )
+    p.add_argument(
+        "--async_checkpoint", action="store_true", default=None,
+        help="overlap checkpoint writes with the next epoch "
+             "(disables state donation — see config.async_checkpoint)",
+    )
     p.add_argument("--norm_layer", choices=["batch", "group"], default=None)
 
 
@@ -180,6 +185,7 @@ def _config_from_args(args, preset: str = "standard", with_explicit: bool = Fals
         "normalize": "normalize",
         "cache_dir": "cache_dir",
         "device_cache_gb": "device_data_cache_gb",
+        "async_checkpoint": "async_checkpoint",
         "norm_layer": "norm_layer",
         "epochs": "num_epochs",
         "learning_rate": "learning_rate",

@@ -155,6 +155,15 @@ class Config:
     spatial_parallel: int = 1  # shard the D spatial axis ('spatial' mesh axis)
     tensor_parallel: int = 1  # shard conv output channels ('model' mesh axis)
     donate_state: bool = True
+    # Overlap checkpoint writes with the next epoch's training (single-
+    # process only). The device-to-host fetch + Orbax write runs in a
+    # background thread; requires keeping the saved state's buffers alive,
+    # so donation is disabled while on (≈ one extra optimizer-state copy
+    # of HBM). Worth it when saves are slow relative to epochs — measured
+    # on the tunneled chip the per-epoch saves cost 3-9x the compute
+    # (BENCH.md "Checkpoint cost"); on local-PCIe hosts the win is ~1-2 s
+    # per epoch. Off by default for the memory envelope.
+    async_checkpoint: bool = False
 
     # ---- inference ----------------------------------------------------------
     threshold: float = 0.5
@@ -257,10 +266,17 @@ PRESETS: Dict[str, Dict[str, Any]] = {
     "cross_validation": {
         "n_splits": 5,
     },
-    # high_performance: longer, bigger batch, lower LR, more patience
+    # high_performance: longer, bigger batch, lower LR, more patience.
+    # batch 4 runs as 4 accumulated microbatches: monolithic batch 4 at
+    # 128³ needs ~25 GB of conv-gradient buffers (BENCH.md memory
+    # envelope) while accumulation is both in-budget AND the fastest
+    # measured configuration (3.55 vol/s/chip); micro-batch-1 needs no
+    # remat (re-enable `remat` when overriding to larger target sizes).
     "high_performance": {
         "num_epochs": 200,
         "batch_size": 4,
+        "accum_steps": 4,
+        "remat": False,
         "learning_rate": 5e-5,
         "patience": 20,
         "save_frequency": 5,

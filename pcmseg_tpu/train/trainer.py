@@ -179,8 +179,18 @@ class Trainer:
         )
         self.state = shard_state(self.state, self.mesh)
 
+        # async checkpointing needs the saved state's buffers to outlive
+        # the next optimizer update → no donation while it's on
+        self._async_ckpt = bool(
+            getattr(config, "async_checkpoint", False)
+            and self.process_count == 1
+        )
+        self._ckpt_pool = None
+        self._ckpt_futures: List = []
+        donate = config.donate_state and not self._async_ckpt
+
         self._train_step = jit_train_step(
-            make_train_step(self.model, config), donate=config.donate_state
+            make_train_step(self.model, config), donate=donate
         )
         self._eval_step = jit_eval_step(make_eval_step(self.model, config))
 
@@ -226,7 +236,7 @@ class Trainer:
                         make_train_step(self.model, config),
                         mesh=cache_mesh,
                     ),
-                    donate_argnums=(0,) if config.donate_state else (),
+                    donate_argnums=(0,) if donate else (),
                 )
                 self._cached_eval_step = jax.jit(
                     make_cached_eval_step(
@@ -254,6 +264,52 @@ class Trainer:
             self._try_resume()
 
     # -- checkpoint plumbing ---------------------------------------------------
+
+    def _save(self, name: str, epoch: int, monitor: float) -> None:
+        """Write a checkpoint — synchronously, or (async_checkpoint) in a
+        background thread overlapping the next epoch.
+
+        Safe because async mode disables donation (the submitted state's
+        buffers stay valid) and the meta dict is deep-copied at submit
+        time (the live history list keeps growing while the writer runs).
+        A single-worker pool serializes the writes; failures surface at
+        the next epoch boundary / end of training via _drain_saves.
+        """
+        meta = self._meta(epoch, monitor)
+        if not self._async_ckpt:
+            save_checkpoint(self.config.save_dir, name, self.state, meta)
+            return
+        import copy
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._ckpt_pool is None:
+            self._ckpt_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="pcmseg_ckpt"
+            )
+        self._ckpt_futures.append(
+            self._ckpt_pool.submit(
+                save_checkpoint,
+                self.config.save_dir,
+                name,
+                self.state,
+                copy.deepcopy(meta),
+            )
+        )
+
+    def _drain_saves(self, wait: bool = False) -> None:
+        """Surface async save failures; optionally block until all done."""
+        if wait:
+            for f in self._ckpt_futures:
+                f.result()
+            self._ckpt_futures.clear()
+            return
+        still = []
+        for f in self._ckpt_futures:
+            if f.done():
+                f.result()  # re-raise any writer exception
+            else:
+                still.append(f)
+        self._ckpt_futures = still
 
     def _ckpt_name(self, base: str) -> str:
         return f"{base}_{self.tag}" if self.tag else base
@@ -505,23 +561,18 @@ class Trainer:
             self.state = set_learning_rate(self.state, new_lr)
 
             # checkpoints: latest always; best on monitored improvement
-            save_checkpoint(
-                cfg.save_dir, self._ckpt_name("latest"), self.state,
-                self._meta(epoch, monitor),
-            )
+            self._drain_saves()  # surface any async writer failure early
+            self._save(self._ckpt_name("latest"), epoch, monitor)
             if monitor < self.best_monitor:
                 self.best_monitor = monitor
-                save_checkpoint(
-                    cfg.save_dir, self._ckpt_name("best"), self.state,
-                    self._meta(epoch, monitor),
-                )
+                self._save(self._ckpt_name("best"), epoch, monitor)
             if cfg.save_frequency and (epoch + 1) % cfg.save_frequency == 0:
-                save_checkpoint(
-                    cfg.save_dir, self._ckpt_name(f"epoch_{epoch + 1}"),
-                    self.state, self._meta(epoch, monitor),
+                self._save(
+                    self._ckpt_name(f"epoch_{epoch + 1}"), epoch, monitor
                 )
 
             if cfg.early_stopping and self.early_stopping.step(monitor):
                 self.log.info("early stopping at epoch %d", epoch)
                 break
+        self._drain_saves(wait=True)
         return self.history

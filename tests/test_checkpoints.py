@@ -208,3 +208,38 @@ def test_adopt_checkpoint_config_pth_defaults_minmax(tmp_path):
     assert adopted.normalize == "minmax"
     kept = adopt_checkpoint_config(cfg, str(tmp_path / "ref.pth"), explicit=("normalize",))
     assert kept.normalize == "percentile"
+
+
+def test_async_checkpoint_saves_and_resumes(tmp_path):
+    """async_checkpoint=True: saves overlap training via a writer thread,
+    end-of-training drains, and the checkpoints resume exactly like
+    synchronous ones."""
+    from pcmseg_tpu.data.synthetic import make_synthetic_dataset
+    from pcmseg_tpu.train.trainer import Trainer
+
+    root = str(tmp_path / "data")
+    make_synthetic_dataset(root, n_cases=3, shape=(12, 12, 12))
+    cfg = tiny_config(
+        data_dir=root,
+        save_dir=str(tmp_path / "ckpt"),
+        num_epochs=2,
+        validation=False,
+        early_stopping=False,
+        async_checkpoint=True,
+        data_parallel=1,
+    )
+    t = Trainer(cfg)
+    assert t._async_ckpt
+    h = t.train()
+    assert len(h["train_loss"]) == 2
+    assert t._ckpt_futures == []  # drained at end of training
+
+    from pcmseg_tpu.train.checkpoints import checkpoint_exists, load_checkpoint
+
+    assert checkpoint_exists(cfg.save_dir, "latest")
+    assert checkpoint_exists(cfg.save_dir, "best")
+
+    t2 = Trainer(cfg.replace(resume=True, num_epochs=3))
+    assert t2.start_epoch == 2  # resumed from the async-written latest
+    h2 = t2.train()
+    assert len(h2["train_loss"]) == 3  # history carried + one new epoch
