@@ -46,7 +46,12 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--async_checkpoint", action="store_true", default=None,
         help="overlap checkpoint writes with the next epoch "
-             "(disables state donation — see config.async_checkpoint)",
+             "(disables state donation — pair with --remat 1 at large "
+             "target sizes; see config.async_checkpoint)",
+    )
+    p.add_argument(
+        "--remat", type=int, choices=[0, 1], default=None,
+        help="rematerialize DoubleConv blocks (memory for compute)",
     )
     p.add_argument("--norm_layer", choices=["batch", "group"], default=None)
 
@@ -186,6 +191,7 @@ def _config_from_args(args, preset: str = "standard", with_explicit: bool = Fals
         "cache_dir": "cache_dir",
         "device_cache_gb": "device_data_cache_gb",
         "async_checkpoint": "async_checkpoint",
+        "remat": "remat",
         "norm_layer": "norm_layer",
         "epochs": "num_epochs",
         "learning_rate": "learning_rate",

@@ -162,7 +162,10 @@ class Config:
     # of HBM). Worth it when saves are slow relative to epochs — measured
     # on the tunneled chip the per-epoch saves cost 3-9x the compute
     # (BENCH.md "Checkpoint cost"); on local-PCIe hosts the win is ~1-2 s
-    # per epoch. Off by default for the memory envelope.
+    # per epoch. Writes collapse latest-wins with bounded backpressure, so
+    # on storage slower than the epoch rate the durable 'latest' may lag
+    # the live state by up to ~2 epochs (resume then replays them). Off by
+    # default for the memory envelope.
     async_checkpoint: bool = False
 
     # ---- inference ----------------------------------------------------------

@@ -269,11 +269,20 @@ class Trainer:
         """Write a checkpoint — synchronously, or (async_checkpoint) in a
         background thread overlapping the next epoch.
 
-        Safe because async mode disables donation (the submitted state's
-        buffers stay valid) and the meta dict is deep-copied at submit
-        time (the live history list keeps growing while the writer runs).
-        A single-worker pool serializes the writes; failures surface at
-        the next epoch boundary / end of training via _drain_saves.
+        Async safety & bounds:
+          * donation is off in async mode, so a submitted state's buffers
+            stay valid while the writer fetches them;
+          * the meta dict is deep-copied at submit time (the live history
+            keeps growing under the writer);
+          * LATEST-WINS COLLAPSING: a queued-but-not-started save of the
+            same name is cancelled when a newer snapshot arrives — an
+            intermediate 'latest'/'best' that was never the newest has no
+            durability value, and dropping it releases its state's HBM;
+          * BACKPRESSURE: at most 2 snapshots outstanding — without this,
+            epochs faster than the storage link accumulate one full
+            optimizer state per epoch until HBM exhausts (measured: the
+            flagship run OOM'd at ~epoch 8 on the tunneled chip).
+        Failures surface at the next epoch boundary / end of training.
         """
         meta = self._meta(epoch, monitor)
         if not self._async_ckpt:
@@ -286,30 +295,56 @@ class Trainer:
             self._ckpt_pool = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="pcmseg_ckpt"
             )
+        # latest-wins: cancel a same-name save still waiting to start
+        kept = []
+        for n, f in self._ckpt_futures:
+            if n == name and f.cancel():
+                continue
+            kept.append((n, f))
+        self._ckpt_futures = kept
+        # backpressure: wait until <2 un-finished snapshots remain
+        while True:
+            live = [
+                (n, f) for n, f in self._ckpt_futures
+                if not f.done() and not f.cancelled()
+            ]
+            if len(live) < 2:
+                break
+            live[0][1].result()  # oldest; re-raises writer failures
+        self._prune_done()
         self._ckpt_futures.append(
-            self._ckpt_pool.submit(
-                save_checkpoint,
-                self.config.save_dir,
+            (
                 name,
-                self.state,
-                copy.deepcopy(meta),
+                self._ckpt_pool.submit(
+                    save_checkpoint,
+                    self.config.save_dir,
+                    name,
+                    self.state,
+                    copy.deepcopy(meta),
+                ),
             )
         )
+
+    def _prune_done(self) -> None:
+        still = []
+        for n, f in self._ckpt_futures:
+            if f.cancelled():
+                continue
+            if f.done():
+                f.result()  # re-raise any writer exception
+            else:
+                still.append((n, f))
+        self._ckpt_futures = still
 
     def _drain_saves(self, wait: bool = False) -> None:
         """Surface async save failures; optionally block until all done."""
         if wait:
-            for f in self._ckpt_futures:
-                f.result()
+            for n, f in self._ckpt_futures:
+                if not f.cancelled():
+                    f.result()
             self._ckpt_futures.clear()
             return
-        still = []
-        for f in self._ckpt_futures:
-            if f.done():
-                f.result()  # re-raise any writer exception
-            else:
-                still.append(f)
-        self._ckpt_futures = still
+        self._prune_done()
 
     def _ckpt_name(self, base: str) -> str:
         return f"{base}_{self.tag}" if self.tag else base
