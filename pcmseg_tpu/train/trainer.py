@@ -434,11 +434,44 @@ class Trainer:
                 np.asarray(weights, np.float32),
             )
 
+    def _consume_loss(self, step_idx: int, metrics, losses: list) -> float:
+        """Fetch a (possibly one-step-old) loss, guard non-finite, log.
+
+        Training steps are dispatched asynchronously; fetching step n-1's
+        loss AFTER enqueueing step n keeps the device busy through the
+        host's D2H round-trip (on the tunnel that latency was the whole
+        3.42-vs-3.55 vol/s gap). The non-finite abort therefore fires one
+        step late — one extra step runs on the poisoned state, but the
+        raise still prevents the epoch from completing or checkpointing it.
+        """
+        loss = float(metrics["loss"])
+        if not np.isfinite(loss):
+            raise FloatingPointError(
+                f"non-finite training loss ({loss}) at batch {step_idx} "
+                f"— aborting instead of training on"
+            )
+        losses.append(loss)
+        # per-batch logging cadence (reference BASE_CONFIG's
+        # log_frequency/print_frequency, config_example.py:48-50)
+        if self.config.log_frequency and (
+            step_idx % max(self.config.log_frequency, 1) == 0
+        ):
+            self.log.debug("batch %d: loss %.4f", step_idx, loss)
+        if self.config.print_frequency and (
+            (step_idx + 1) % max(self.config.print_frequency, 1) == 0
+        ):
+            self.log.info(
+                "batch %d: loss %.4f (%.2f vol/s)",
+                step_idx + 1, loss, self.timer.items_per_sec,
+            )
+        return loss
+
     def _train_epoch_cached(self) -> float:
         cache = self._dcache
         epoch = self._epochs_run
         key = jax.random.key(self.config.seed * 9973 + epoch)
         losses = []
+        pending = None  # (step_idx, metrics) of the in-flight step
         for step_idx, (idx, weights) in enumerate(
             self._index_batches(self.train_indices, True, epoch)
         ):
@@ -449,21 +482,12 @@ class Trainer:
             self.state, metrics = self._cached_train_step(
                 self.state, cache["images"], cache["labels"], idx, weights, sub
             )
-            loss = float(metrics["loss"])  # D2H sync once per step
+            if pending is not None:
+                self._consume_loss(*pending, losses)
+            pending = (step_idx, metrics)
             self.timer.stop(items=n)
-            if not np.isfinite(loss):
-                raise FloatingPointError(
-                    f"non-finite training loss ({loss}) at step "
-                    f"{int(self.state.step)} — aborting instead of training on"
-                )
-            losses.append(loss)
-            if self.config.print_frequency and (
-                (step_idx + 1) % max(self.config.print_frequency, 1) == 0
-            ):
-                self.log.info(
-                    "batch %d: loss %.4f (%.2f vol/s)",
-                    step_idx + 1, loss, self.timer.items_per_sec,
-                )
+        if pending is not None:
+            self._consume_loss(*pending, losses)
         self.tracer.close()
         return float(np.mean(losses)) if losses else float("nan")
 
@@ -476,6 +500,7 @@ class Trainer:
             finally:
                 self._epochs_run += 1
         losses = []
+        pending = None  # (step_idx, metrics) of the in-flight step
         for step_idx, batch in enumerate(
             background_prefetch(
                 self._device_batches(self.train_loader),
@@ -493,69 +518,53 @@ class Trainer:
                     "weight": batch["weight"],
                 },
             )
-            loss = float(metrics["loss"])  # D2H sync once per step
+            if pending is not None:
+                self._consume_loss(*pending, losses)
+            pending = (step_idx, metrics)
             self.timer.stop(items=n)
-            if not np.isfinite(loss):
-                raise FloatingPointError(
-                    f"non-finite training loss ({loss}) at step "
-                    f"{int(self.state.step)} — aborting instead of training on"
-                )
-            losses.append(loss)
-            # per-batch logging cadence (reference BASE_CONFIG's
-            # log_frequency/print_frequency, config_example.py:48-50)
-            if self.config.log_frequency and (
-                step_idx % max(self.config.log_frequency, 1) == 0
-            ):
-                self.log.debug("batch %d: loss %.4f", step_idx, loss)
-            if self.config.print_frequency and (
-                (step_idx + 1) % max(self.config.print_frequency, 1) == 0
-            ):
-                self.log.info(
-                    "batch %d/%d: loss %.4f (%.2f vol/s)",
-                    step_idx + 1, len(self.train_loader), loss,
-                    self.timer.items_per_sec,
-                )
+        if pending is not None:
+            self._consume_loss(*pending, losses)
         self.tracer.close()  # flush if the epoch was shorter than the window
         return float(np.mean(losses)) if losses else float("nan")
 
     def validate_epoch(self) -> Dict[str, float]:
-        losses = []
-        dice_sum = iou_sum = w_sum = 0.0
+        # All eval steps are enqueued back-to-back; the device metrics
+        # (4 scalars per batch — weighted scalar sums of replicated
+        # outputs rather than per-sample fetches, since globally-sharded
+        # per-sample arrays aren't addressable from a single process in
+        # multi-host mode) are fetched in ONE device_get at the end, so
+        # the device never idles on a per-batch D2H round-trip.
+        device_metrics = []
         if self._dcache is not None:
             cache = self._dcache
             for idx, weights in self._index_batches(
                 self.val_indices, False, 0
             ):
-                m = self._cached_eval_step(
-                    self.state, cache["images"], cache["labels"], idx, weights
+                device_metrics.append(
+                    self._cached_eval_step(
+                        self.state, cache["images"], cache["labels"],
+                        idx, weights,
+                    )
                 )
-                losses.append(float(m["loss"]))
-                dice_sum += float(m["dice_sum"])
-                iou_sum += float(m["iou_sum"])
-                w_sum += float(m["weight_sum"])
-            return {
-                "loss": float(np.mean(losses)),
-                "dice": dice_sum / max(w_sum, 1.0),
-                "iou": iou_sum / max(w_sum, 1.0),
-            }
-        for batch in self._device_batches(self.val_loader):
-            m = self._eval_step(
-                self.state,
-                {
-                    "image": batch["image"],
-                    "label": batch["label"],
-                    "weight": batch["weight"],
-                },
-            )
-            # weighted scalar sums (replicated outputs) rather than
-            # per-sample fetches: globally-sharded per-sample arrays aren't
-            # addressable from a single process in multi-host mode
-            losses.append(float(m["loss"]))
-            dice_sum += float(m["dice_sum"])
-            iou_sum += float(m["iou_sum"])
-            w_sum += float(m["weight_sum"])
+        else:
+            for batch in self._device_batches(self.val_loader):
+                device_metrics.append(
+                    self._eval_step(
+                        self.state,
+                        {
+                            "image": batch["image"],
+                            "label": batch["label"],
+                            "weight": batch["weight"],
+                        },
+                    )
+                )
+        fetched = jax.device_get(device_metrics)
+        losses = [float(m["loss"]) for m in fetched]
+        dice_sum = sum(float(m["dice_sum"]) for m in fetched)
+        iou_sum = sum(float(m["iou_sum"]) for m in fetched)
+        w_sum = sum(float(m["weight_sum"]) for m in fetched)
         return {
-            "loss": float(np.mean(losses)),
+            "loss": float(np.mean(losses)) if losses else float("nan"),
             "dice": dice_sum / max(w_sum, 1.0),
             "iou": iou_sum / max(w_sum, 1.0),
         }
