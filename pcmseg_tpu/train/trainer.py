@@ -604,11 +604,16 @@ class Trainer:
             new_lr = self.scheduler.step(monitor)
             self.state = set_learning_rate(self.state, new_lr)
 
-            # checkpoints: latest always; best on monitored improvement
+            # checkpoints: latest always; best on monitored improvement.
+            # best_monitor is updated BEFORE the latest save so that a
+            # resume from latest(e) can never re-award 'best' to a later
+            # epoch that is worse than e.
             self._drain_saves()  # surface any async writer failure early
-            self._save(self._ckpt_name("latest"), epoch, monitor)
-            if monitor < self.best_monitor:
+            is_best = monitor < self.best_monitor
+            if is_best:
                 self.best_monitor = monitor
+            self._save(self._ckpt_name("latest"), epoch, monitor)
+            if is_best:
                 self._save(self._ckpt_name("best"), epoch, monitor)
             if cfg.save_frequency and (epoch + 1) % cfg.save_frequency == 0:
                 self._save(

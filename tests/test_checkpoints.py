@@ -243,3 +243,35 @@ def test_async_checkpoint_saves_and_resumes(tmp_path):
     assert t2.start_epoch == 2  # resumed from the async-written latest
     h2 = t2.train()
     assert len(h2["train_loss"]) == 3  # history carried + one new epoch
+
+
+def test_latest_meta_carries_updated_best_monitor(tmp_path):
+    """latest(e)'s meta must already reflect a best set AT epoch e, so a
+    resume can never re-award 'best' to a later, worse epoch."""
+    from pcmseg_tpu.data.synthetic import make_synthetic_dataset
+    from pcmseg_tpu.train.checkpoints import load_checkpoint
+    from pcmseg_tpu.train.trainer import Trainer
+
+    root = str(tmp_path / "data")
+    make_synthetic_dataset(root, n_cases=3, shape=(12, 12, 12))
+    cfg = tiny_config(
+        data_dir=root,
+        save_dir=str(tmp_path / "ckpt"),
+        num_epochs=1,
+        validation=False,
+        early_stopping=False,
+        data_parallel=1,
+    )
+    t = Trainer(cfg)
+    h = t.train()
+
+    state_t = Trainer(cfg)  # fresh template for loading
+    _, meta = load_checkpoint(
+        str(tmp_path / "ckpt" / "latest"), state_t.state
+    )
+    # epoch 0 is necessarily the best epoch; its latest meta must carry
+    # the post-update best_monitor (== its own monitor), not +inf
+    assert meta["best_monitor"] == pytest.approx(h["train_loss"][0])
+
+    t2 = Trainer(cfg.replace(resume=True))
+    assert t2.best_monitor == pytest.approx(h["train_loss"][0])
