@@ -208,6 +208,8 @@ def _config_from_args(args, preset: str = "standard", with_explicit: bool = Fals
         v = getattr(args, arg_name, None)
         if v is not None:
             overrides[cfg_name] = v
+    if "remat" in overrides:  # --remat {0,1} → bool
+        overrides["remat"] = bool(overrides["remat"])
     if getattr(args, "target_size", None) is not None:
         overrides["target_size"] = tuple(args.target_size)
     if getattr(args, "window_size", None) is not None:

@@ -73,6 +73,36 @@ def test_reference_compat_flags_accepted():
     assert args2.data_augmentation is True and args2.interactive is True
 
 
+def test_round2_train_flags_map_to_config():
+    args = parse(
+        [
+            "train",
+            "--async_checkpoint",
+            "--remat", "1",
+            "--profile", "/tmp/trace",
+            "--profile_steps", "7",
+        ]
+    )
+    c = _config_from_args(args, preset=args.preset)
+    assert c.async_checkpoint is True
+    assert c.remat is True
+    assert c.profile_dir == "/tmp/trace" and c.profile_steps == 7
+    # --remat 0 forces remat OFF even where the preset enables it
+    c0 = _config_from_args(parse(["train", "--remat", "0"]), preset="standard")
+    assert c0.remat is False
+
+
+def test_window_blend_flag():
+    args = parse(
+        ["predict", "--model_path", "/m", "--input_dir", "/c",
+         "--window_blend", "uniform"]
+    )
+    assert _config_from_args(args).window_blend == "uniform"
+    with pytest.raises(SystemExit):
+        parse(["predict", "--model_path", "/m", "--input_dir", "/c",
+               "--window_blend", "bogus"])
+
+
 def test_invalid_choices_rejected():
     with pytest.raises(SystemExit):
         parse(["train", "--data_type", "XXX"])
