@@ -192,12 +192,14 @@ class DoubleConv3D(nn.Module):
                 )
             )
             if use_hybrid:
+                from pcmseg_tpu.ops import hybrid_conv as _hc
+
                 x = HybridConv3x3(
                     self.features,
                     dw_impl=(
                         "pallas"
                         if self.conv_lowering == "hybrid_pallas"
-                        else "decomp_ad"
+                        else _hc.AUTO_DW_IMPL
                     ),
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,

@@ -110,6 +110,12 @@ def _bwd(dw_impl, res, dy):
 conv3x3_hybrid.defvjp(_fwd, _bwd)
 
 
+# dW implementation used when the AUTO rule (below) selects the hybrid
+# conv; 'hybrid_pallas' as an explicit conv_lowering always forces
+# 'pallas'. Module-level so the A/B harness can patch it.
+AUTO_DW_IMPL = "decomp_ad"
+
+
 def should_use_hybrid(spatial: tuple, cin: int, cout: int) -> bool:
     """Measured decision rule for the training path.
 

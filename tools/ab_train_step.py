@@ -30,9 +30,22 @@ def run_variant(lowering, size, batch, steps, accum, remat):
     # selective variants: 'sel<maxsp>' = auto + hybrid at 8 < spatial <= N
     import pcmseg_tpu.ops.hybrid_conv as hc
 
+    variant = lowering
+
     if not hasattr(hc, "_orig_should_use_hybrid"):
         hc._orig_should_use_hybrid = hc.should_use_hybrid
-    if lowering.startswith("sel"):
+    hc.AUTO_DW_IMPL = "decomp_ad"
+    if lowering.startswith("selp"):
+        # 'selp<N>': auto + hybrid with the PALLAS dW kernel at
+        # 8 < spatial <= N (keeps the 128^3 Pallas kernels, which the
+        # remote AOT rejects in-model, out of the graph)
+        max_sp = int(lowering[4:])
+        hc.should_use_hybrid = (
+            lambda spatial, cin, cout: 8 < max(spatial) <= max_sp
+        )
+        hc.AUTO_DW_IMPL = "pallas"
+        lowering = "auto"
+    elif lowering.startswith("sel"):
         max_sp = int(lowering[3:])
         hc.should_use_hybrid = (
             lambda spatial, cin, cout: 8 < max(spatial) <= max_sp
@@ -84,7 +97,7 @@ def run_variant(lowering, size, batch, steps, accum, remat):
     dt = (time.perf_counter() - t0) / steps
     assert np.isfinite(loss)
     return {
-        "lowering": lowering,
+        "lowering": variant,
         "ms_per_step": round(dt * 1e3, 1),
         "vol_per_s": round(batch / dt, 3),
         "loss0": round(loss0, 5),
