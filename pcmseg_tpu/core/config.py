@@ -158,8 +158,11 @@ class Config:
     # Overlap checkpoint writes with the next epoch's training (single-
     # process only). The device-to-host fetch + Orbax write runs in a
     # background thread; requires keeping the saved state's buffers alive,
-    # so donation is disabled while on (≈ one extra optimizer-state copy
-    # of HBM). Worth it when saves are slow relative to epochs — measured
+    # so donation is disabled while on. HBM cost: the backpressure bound
+    # (2 outstanding snapshots) permits up to TWO extra optimizer-state
+    # copies alongside the live state in the worst case (latest(e) being
+    # written + latest(e+1) queued). Worth it when saves are slow
+    # relative to epochs — measured
     # on the tunneled chip the per-epoch saves cost 3-9x the compute
     # (BENCH.md "Checkpoint cost"); on local-PCIe hosts the win is ~1-2 s
     # per epoch. Writes collapse latest-wins with bounded backpressure, so

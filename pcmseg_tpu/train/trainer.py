@@ -185,6 +185,13 @@ class Trainer:
             getattr(config, "async_checkpoint", False)
             and self.process_count == 1
         )
+        if getattr(config, "async_checkpoint", False) and not self._async_ckpt:
+            self.log.warning(
+                "async_checkpoint requested but process_count=%d > 1: "
+                "falling back to synchronous saves (multi-host saves "
+                "coordinate across processes and must block)",
+                self.process_count,
+            )
         self._ckpt_pool = None
         self._ckpt_futures: List = []
         donate = config.donate_state and not self._async_ckpt
@@ -434,7 +441,9 @@ class Trainer:
                 np.asarray(weights, np.float32),
             )
 
-    def _consume_loss(self, step_idx: int, metrics, losses: list) -> float:
+    def _consume_loss(
+        self, step_idx: int, metrics, losses: list, n_total: int = 0
+    ) -> float:
         """Fetch a (possibly one-step-old) loss, guard non-finite, log.
 
         Training steps are dispatched asynchronously; fetching step n-1's
@@ -461,8 +470,9 @@ class Trainer:
             (step_idx + 1) % max(self.config.print_frequency, 1) == 0
         ):
             self.log.info(
-                "batch %d: loss %.4f (%.2f vol/s)",
-                step_idx + 1, loss, self.timer.items_per_sec,
+                "batch %d/%s: loss %.4f (%.2f vol/s)",
+                step_idx + 1, n_total or "?", loss,
+                self.timer.items_per_sec,
             )
         return loss
 
@@ -471,6 +481,8 @@ class Trainer:
         epoch = self._epochs_run
         key = jax.random.key(self.config.seed * 9973 + epoch)
         losses = []
+        bs = self.config.batch_size
+        n_total = -(-len(self.train_indices) // bs)  # ceil: padded batches
         pending = None  # (step_idx, metrics) of the in-flight step
         for step_idx, (idx, weights) in enumerate(
             self._index_batches(self.train_indices, True, epoch)
@@ -483,11 +495,11 @@ class Trainer:
                 self.state, cache["images"], cache["labels"], idx, weights, sub
             )
             if pending is not None:
-                self._consume_loss(*pending, losses)
+                self._consume_loss(*pending, losses, n_total)
             pending = (step_idx, metrics)
             self.timer.stop(items=n)
         if pending is not None:
-            self._consume_loss(*pending, losses)
+            self._consume_loss(*pending, losses, n_total)
         self.tracer.close()
         return float(np.mean(losses)) if losses else float("nan")
 
@@ -500,6 +512,10 @@ class Trainer:
             finally:
                 self._epochs_run += 1
         losses = []
+        try:
+            n_total = len(self.train_loader)
+        except TypeError:
+            n_total = 0
         pending = None  # (step_idx, metrics) of the in-flight step
         for step_idx, batch in enumerate(
             background_prefetch(
@@ -519,11 +535,11 @@ class Trainer:
                 },
             )
             if pending is not None:
-                self._consume_loss(*pending, losses)
+                self._consume_loss(*pending, losses, n_total)
             pending = (step_idx, metrics)
             self.timer.stop(items=n)
         if pending is not None:
-            self._consume_loss(*pending, losses)
+            self._consume_loss(*pending, losses, n_total)
         self.tracer.close()  # flush if the epoch was shorter than the window
         return float(np.mean(losses)) if losses else float("nan")
 
@@ -547,6 +563,13 @@ class Trainer:
                     )
                 )
         else:
+            # Streaming batches hold their H2D input buffers until the
+            # eval step that consumes them executes, so bound the number
+            # of dispatched-but-unexecuted steps: fetch metrics a few
+            # batches behind dispatch (pipelined, like the train-loss
+            # fetch — the device never idles at depth 3, but in-flight
+            # input HBM stays ~3 batches instead of the whole val set).
+            depth = 3
             for batch in self._device_batches(self.val_loader):
                 device_metrics.append(
                     self._eval_step(
@@ -558,6 +581,9 @@ class Trainer:
                         },
                     )
                 )
+                i = len(device_metrics) - 1 - depth
+                if i >= 0:
+                    device_metrics[i] = jax.device_get(device_metrics[i])
         fetched = jax.device_get(device_metrics)
         losses = [float(m["loss"]) for m in fetched]
         dice_sum = sum(float(m["dice_sum"]) for m in fetched)
@@ -570,6 +596,16 @@ class Trainer:
         }
 
     def train(self) -> Dict[str, List[float]]:
+        try:
+            return self._train_impl()
+        finally:
+            # release the async-ckpt worker on EVERY exit path: without
+            # this, an exception (e.g. the NaN abort) leaves a non-daemon
+            # thread keeping the process alive, and sweep/CV runs leak
+            # one idle worker per Trainer
+            self.close()
+
+    def _train_impl(self) -> Dict[str, List[float]]:
         cfg = self.config
         self.log.info(
             "training %d cases (val: %s) for %d epochs, batch %d, mesh %s",
@@ -625,3 +661,19 @@ class Trainer:
                 break
         self._drain_saves(wait=True)
         return self.history
+
+    def close(self) -> None:
+        """Release the async-checkpoint worker thread (idempotent).
+
+        Completes (never cancels) queued writes — a queued 'latest'/'best'
+        of a finite epoch keeps its durability value even when training
+        aborted. ``train()`` calls this on every exit path; a Trainer can
+        be reused afterwards (the pool is lazily recreated on next save).
+        """
+        pool, self._ckpt_pool = self._ckpt_pool, None
+        if pool is not None:
+            pool.shutdown(wait=True)
+            for n, f in self._ckpt_futures:
+                if not f.cancelled():
+                    f.exception()  # consume; avoid never-retrieved warnings
+            self._ckpt_futures.clear()

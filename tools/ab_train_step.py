@@ -34,7 +34,8 @@ def run_variant(lowering, size, batch, steps, accum, remat):
 
     if not hasattr(hc, "_orig_should_use_hybrid"):
         hc._orig_should_use_hybrid = hc.should_use_hybrid
-    hc.AUTO_DW_IMPL = "decomp_ad"
+        hc._orig_auto_dw_impl = hc.AUTO_DW_IMPL
+    hc.AUTO_DW_IMPL = hc._orig_auto_dw_impl  # production default unless selp
     if lowering.startswith("selp"):
         # 'selp<N>': auto + hybrid with the PALLAS dW kernel at
         # 8 < spatial <= N (keeps the 128^3 Pallas kernels, which the
