@@ -124,6 +124,9 @@ def build_parser() -> argparse.ArgumentParser:
                     default=None)
     pp.add_argument("--tta", action="store_true",
                     help="8-way flip-ensemble test-time augmentation")
+    pp.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the prediction "
+                         "into DIR")
 
     # serve: resident predictor over a directory of cases
     ps = sub.add_parser(
@@ -157,6 +160,12 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--threshold", type=float, default=None)
     ps.add_argument("--tta", action="store_true",
                     help="8-way flip-ensemble test-time augmentation")
+    ps.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the first few "
+                         "served cases into DIR")
+    ps.add_argument("--profile_steps", type=int, default=None,
+                    help="number of cases the serve trace covers "
+                         "(default: config.profile_steps)")
 
     # warm-cache: populate the preprocessing cache up front
     pw = sub.add_parser(
@@ -286,13 +295,16 @@ def cmd_predict(args) -> int:
 
     from pcmseg_tpu.infer.predict import Predictor
 
+    from pcmseg_tpu.utils.profiling import trace
+
     config, explicit = _config_from_args(args, with_explicit=True)
     predictor = Predictor(config, args.model_path, explicit=explicit)
-    out = predictor.predict_and_save(
-        args.input_dir,
-        os.path.join(args.output_dir, args.output_name),
-        threshold=args.threshold,
-    )
+    with trace(config.profile_dir):
+        out = predictor.predict_and_save(
+            args.input_dir,
+            os.path.join(args.output_dir, args.output_name),
+            threshold=args.threshold,
+        )
     print(f"saved: {out}")
     return 0
 
@@ -315,14 +327,17 @@ def cmd_serve(args) -> int:
         explicit=explicit,
         min_age=min_age,
     )
-    if args.once:
-        stats = server.run_once()
-    else:
-        stats = server.run(
-            poll_interval=args.poll_interval,
-            max_polls=args.max_polls,
-            stop_file=args.stop_file,
-        )
+    try:
+        if args.once:
+            stats = server.run_once()
+        else:
+            stats = server.run(
+                poll_interval=args.poll_interval,
+                max_polls=args.max_polls,
+                stop_file=args.stop_file,
+            )
+    finally:
+        server.close()  # flush a still-open --profile trace
     waiting = f", {stats['waiting']} waiting" if stats.get("waiting") else ""
     print(
         f"served: {stats['done']} done, {stats['failed']} failed{waiting}"

@@ -30,6 +30,7 @@ from typing import Dict, List, Optional
 from pcmseg_tpu.core.config import Config
 from pcmseg_tpu.infer.predict import Predictor, _find_volume_file
 from pcmseg_tpu.utils.logging import get_logger
+from pcmseg_tpu.utils.profiling import StepTraceController, annotate
 
 
 class PredictionServer:
@@ -65,6 +66,16 @@ class PredictionServer:
         # 'failed' counts DISTINCT failing cases; 'skipped' counts cases
         # currently quarantined
         self.stats = {"done": 0, "failed": 0, "skipped": 0, "waiting": 0}
+        # --profile DIR: one-shot jax.profiler trace of the first
+        # config.profile_steps cases served (the serving twin of the
+        # trainer's step-window trace). start_step=0 — unlike training,
+        # a serve run may only ever see one case, so the window must
+        # include it even though case 0 carries the compile; per-case
+        # annotate() spans keep the timeline readable either way.
+        self._tracer = StepTraceController(
+            config.profile_dir, start_step=0, n_steps=config.profile_steps
+        )
+        self._cases_seen = 0
 
     # -- discovery -------------------------------------------------------------
 
@@ -161,15 +172,18 @@ class PredictionServer:
         ``_load`` (the pipeline path) — its exception, if any, surfaces
         here and is counted against this case only."""
         t0 = time.perf_counter()
+        self._tracer.on_step(self._cases_seen)
+        self._cases_seen += 1
         try:
             if preloaded is not None:
                 image, reference = preloaded.result()
             else:
                 image, reference = self._load(case_id)
-            probs = self.predictor.predict_probs(image)
-            out = self.predictor.save_prediction(
-                probs, reference, self._output_path(case_id)
-            )
+            with annotate(f"case:{case_id}"):
+                probs = self.predictor.predict_probs(image)
+                out = self.predictor.save_prediction(
+                    probs, reference, self._output_path(case_id)
+                )
         except Exception as e:  # one bad case must not kill the server
             first_failure = case_id not in self._attempts
             self._attempts[case_id] = self._attempts.get(case_id, 0) + 1
@@ -189,6 +203,12 @@ class PredictionServer:
             "case %s → %s (%.2fs)", case_id, out, time.perf_counter() - t0
         )
         return out
+
+    def close(self) -> None:
+        """Flush the one-shot profiler trace if it is still open (runs
+        shorter than the trace window). Idempotent; callers should invoke
+        on every exit path."""
+        self._tracer.close()
 
     def run_once(self) -> Dict[str, int]:
         """Segment every pending case once; returns the running stats.
@@ -246,4 +266,5 @@ class PredictionServer:
             except KeyboardInterrupt:
                 self.log.info("interrupted; exiting")
                 break
+        self.close()
         return dict(self.stats)

@@ -117,10 +117,19 @@ AUTO_DW_IMPL = "decomp_ad"
 
 
 def should_use_hybrid(spatial: tuple, cin: int, cout: int) -> bool:
-    """Measured decision rule for the training path.
+    """Measured decision rule for the training path: never, by evidence.
 
-    Placeholder until the on-chip A/B lands (tools/bench_conv_grad_split
-    + end-to-end train-step A/B); updated with the measured rule in the
-    same change that flips any default.
+    The end-to-end train-step A/B landed (BENCH.md "Conv backward
+    lowerings", tools/ab_train_step.py at 128³/base-64 on v5e): every
+    hybrid arm loses in the full graph despite isolated-op wins —
+    ``hybrid`` (decomp_ad everywhere) 321.3 ms vs ``auto`` 286.8 ms;
+    selective decomp_ad at spatial 16-64 (``sel64``) 289.1 ms and at
+    16-32 (``sel32``) 287.5 ms — inside noise of auto at best; the
+    Pallas-dW arm ``selp32`` 343.7 ms, and ``selp64``/``hybrid_pallas``
+    fail the remote AOT in-model at 128³. XLA schedules the native 3-D
+    backward into the surrounding graph better than any hand-swapped
+    VJP at these shapes, so the auto rule keeps hybrid off the training
+    path permanently. Re-run tools/ab_train_step.py
+    --variants auto,hybrid,sel32 before changing this.
     """
     return False

@@ -84,14 +84,20 @@ conv3x3_im2col.defvjp(_fwd, _bwd)
 
 
 def should_use_im2col(spatial: tuple, cin: int, cout: int) -> bool:
-    """Measured decision rule for the training path (BENCH.md round-2).
+    """Measured decision rule for the training path (BENCH.md).
 
     End-to-end train-step A/B at 128³ (not isolated microbenchmarks —
     those mislead here: XLA schedules the full graph differently):
       * im2col at the bottleneck level (spatial ≤8, wide channels) is a
         stable ~1% step win (isolated: 1.5-2.8× on those convs);
-      * extending to spatial 16/32 measured *slower* end-to-end;
-      * extending to spatial 64 OOMs at compile (col buffers).
-    So: bottleneck convs only.
+      * im2col at thin-input convs (cin ≤ 8 — the 5-modality inc conv,
+        whose col buffer is only 27·5 channels ≈ 0.57 GB transient at
+        128³) is a 4.6% step win: 272.2 vs 285.2 ms/step at 128³/base-64
+        (round-3 A/B, tools/ab_train_step.py --variants auto,i2cinc;
+        isolated: lax 37.4 ms vs im2col 14.0 on that conv);
+      * extending to mid-width convs at spatial 16/32 measured *slower*
+        end-to-end; at spatial 64 wide-channel col buffers OOM at
+        compile.
+    So: bottleneck convs + thin-input (cin ≤ 8) convs only.
     """
-    return max(spatial) <= 8 and min(cin, cout) >= 64
+    return (max(spatial) <= 8 and min(cin, cout) >= 64) or cin <= 8

@@ -76,8 +76,62 @@ class CrossValidationTrainer:
         self.fold_results.append(result)
         return result
 
+    def _completed_fold_result(self, fold_idx: int) -> Optional[Dict]:
+        """A finished fold's result, reconstructed from its history JSON.
+
+        ``fold_{k}_history.json`` is written only after the fold's training
+        loop returns (train_fold), so its presence marks the fold COMPLETE —
+        the cross-fold resume marker. A fold killed mid-training has
+        checkpoints but no history file; re-running it under
+        ``config.resume`` makes its Trainer pick up from ``latest_fold_{k}``
+        (trainer.py _try_resume), landing in the right epoch.
+        """
+        import json
+
+        path = os.path.join(
+            self.config.save_dir, f"fold_{fold_idx}_history.json"
+        )
+        if not os.path.exists(path):
+            return None
+        try:
+            with open(path) as f:
+                history = json.load(f)
+        except (OSError, ValueError):
+            return None  # unreadable/truncated marker -> re-run the fold
+        if not history.get("train_loss"):
+            return None
+        # the fold's loop returned, but under which num_epochs? If the
+        # current config asks for MORE epochs than the file records and
+        # early stopping is off, the user extended the run — re-enter the
+        # fold (its Trainer resumes from latest_fold_{k} and trains the
+        # extra epochs). With early stopping on, a short history means the
+        # fold stopped itself: complete.
+        if (
+            len(history["train_loss"]) < self.config.num_epochs
+            and not self.config.early_stopping
+        ):
+            return None
+        return {
+            "fold": fold_idx + 1,
+            "best_val_loss": (
+                float(np.min(history["val_loss"]))
+                if history.get("val_loss")
+                else float("inf")
+            ),
+            "epochs_trained": len(history["train_loss"]),
+        }
+
     def train(self) -> Dict:
         for k in range(len(self.splits)):
+            if self.config.resume:
+                done = self._completed_fold_result(k)
+                if done is not None:
+                    self.log.info(
+                        "fold %d/%d already complete (%d epochs); skipping",
+                        k + 1, len(self.splits), done["epochs_trained"],
+                    )
+                    self.fold_results.append(done)
+                    continue
             self.train_fold(k)
         results = self.save_results()
         self.print_summary()

@@ -258,3 +258,58 @@ def test_cli_predict_sliding_window(trained, data_root, tmp_path, capsys):
     )
     assert pred.shape == src.shape  # 20^3 case tiled by 16^3 windows
     assert set(np.unique(pred.data)) <= {0, 1}
+
+
+def test_cross_validation_resume_skips_completed_folds(data_root, tmp_path):
+    """CV restart after a mid-run kill: completed folds (marked by their
+    fold_{k}_history.json) are skipped without retraining; the interrupted
+    fold re-enters via its own latest_fold_{k} checkpoint."""
+    from pcmseg_tpu.train.cv import CrossValidationTrainer
+
+    save_dir = str(tmp_path / "cv_resume")
+    config = tiny_config(
+        data_root, save_dir, n_splits=2, num_epochs=2, validation=True
+    )
+    first = CrossValidationTrainer(config)
+    results = first.train()
+    assert results["summary"]["total_folds"] == 2
+
+    # simulate a kill during fold 1: its completion marker is gone, but
+    # its epoch-1 checkpoint survives (fold 0 fully intact)
+    hist1 = os.path.join(save_dir, "fold_1_history.json")
+    full_hist1 = json.load(open(hist1))
+    os.remove(hist1)
+    os.remove(os.path.join(save_dir, "cv_results.json"))
+    # back-date the surviving latest_fold_1 to epoch 0 (as if epoch 1 never
+    # ran): rewrite meta.json's epoch/history
+    meta_path = os.path.join(save_dir, "latest_fold_1", "meta.json")
+    meta = json.load(open(meta_path))
+    meta["epoch"] = 0
+    meta["history"] = {
+        "train_loss": meta["history"]["train_loss"][:1],
+        "val_loss": meta["history"]["val_loss"][:1],
+    }
+    json.dump(meta, open(meta_path, "w"))
+
+    import time as _t
+
+    fold0_best_mtime = os.path.getmtime(
+        os.path.join(save_dir, "best_fold_0", "meta.json")
+    )
+    _t.sleep(0.05)
+
+    second = CrossValidationTrainer(config.replace(resume=True))
+    results2 = second.train()
+
+    # fold 0 was skipped: its best checkpoint untouched, result carried over
+    assert os.path.getmtime(
+        os.path.join(save_dir, "best_fold_0", "meta.json")
+    ) == fold0_best_mtime
+    assert results2["fold_results"][0] == results["fold_results"][0]
+    # fold 1 resumed from epoch 1 and completed: full-length history again,
+    # first epoch identical to the original run's
+    hist1_new = json.load(open(hist1))
+    assert len(hist1_new["train_loss"]) == 2
+    assert hist1_new["train_loss"][0] == full_hist1["train_loss"][0]
+    assert results2["summary"]["total_folds"] == 2
+    assert os.path.exists(os.path.join(save_dir, "cv_results.json"))

@@ -85,14 +85,17 @@ def test_module_interchangeable_with_nn_conv():
 
 
 def test_lowering_rule():
-    # bottleneck convs: the only region with a measured end-to-end win
+    # bottleneck convs: measured end-to-end win (BENCH.md round-2)
     assert should_use_im2col((8, 8, 8), 1024, 1024)
     assert should_use_im2col((8, 8, 8), 512, 1024)
+    # thin-input convs (the 5-modality inc conv): measured 4.6% step win
+    # at 128^3/base-64 (BENCH.md round-3, ab_train_step auto vs i2cinc)
+    assert should_use_im2col((128, 128, 128), 5, 64)
+    assert should_use_im2col((8, 8, 8), 4, 8)
     # out of scope: end-to-end neutral-to-slower, or col buffer unaffordable
     assert not should_use_im2col((16, 16, 16), 512, 512)
     assert not should_use_im2col((64, 64, 64), 128, 128)
     assert not should_use_im2col((128, 128, 128), 64, 64)
-    assert not should_use_im2col((8, 8, 8), 4, 8)  # tiny channels
 
 
 def test_model_outputs_match_across_lowerings():

@@ -290,3 +290,54 @@ def test_serve_quarantines_repeat_failures(served, tmp_path, monkeypatch):
     assert server.stats["failed"] == n_cases  # distinct cases, not attempts
     assert server.stats["skipped"] == n_cases
     assert server.pending_cases() == []
+
+
+def test_cli_serve_profile_writes_trace(served, tmp_path):
+    """--profile on serve dumps a jax.profiler trace of the served cases,
+    flushed even when the run is shorter than the trace window."""
+    from pcmseg_tpu.cli.main import main
+
+    config, root, save_dir = served
+    input_root = str(tmp_path / "inbox")
+    output_dir = str(tmp_path / "outbox")
+    profile_dir = tmp_path / "trace"
+    _stage_case(root, config.modalities, "case000", input_root)
+    rc = main(
+        [
+            "serve",
+            "--model_path", os.path.join(save_dir, "best"),
+            "--input_root", input_root,
+            "--output_dir", output_dir,
+            "--data_dir", root,
+            "--once",
+            "--profile", str(profile_dir),
+            "--profile_steps", "3",
+        ]
+    )
+    assert rc == 0
+    dumped = [p for p in profile_dir.rglob("*") if p.is_file()]
+    assert dumped, "serve --profile wrote no profiler dump"
+
+
+def test_cli_predict_profile_writes_trace(served, tmp_path):
+    from pcmseg_tpu.cli.main import main
+
+    config, root, save_dir = served
+    input_root = str(tmp_path / "inbox")
+    output_dir = str(tmp_path / "outbox")
+    profile_dir = tmp_path / "trace_predict"
+    case_dir = _stage_case(root, config.modalities, "case001", input_root)
+    rc = main(
+        [
+            "predict",
+            "--model_path", os.path.join(save_dir, "best"),
+            "--input_dir", case_dir,
+            "--output_dir", output_dir,
+            "--data_dir", root,
+            "--profile", str(profile_dir),
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(os.path.join(output_dir, "segmentation.nii.gz"))
+    dumped = [p for p in profile_dir.rglob("*") if p.is_file()]
+    assert dumped, "predict --profile wrote no profiler dump"

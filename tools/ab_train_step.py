@@ -29,13 +29,25 @@ enable_compilation_cache()
 def run_variant(lowering, size, batch, steps, accum, remat):
     # selective variants: 'sel<maxsp>' = auto + hybrid at 8 < spatial <= N
     import pcmseg_tpu.ops.hybrid_conv as hc
+    import pcmseg_tpu.ops.im2col as i2c
 
     variant = lowering
 
     if not hasattr(hc, "_orig_should_use_hybrid"):
         hc._orig_should_use_hybrid = hc.should_use_hybrid
         hc._orig_auto_dw_impl = hc.AUTO_DW_IMPL
+    if not hasattr(i2c, "_orig_should_use_im2col"):
+        i2c._orig_should_use_im2col = i2c.should_use_im2col
     hc.AUTO_DW_IMPL = hc._orig_auto_dw_impl  # production default unless selp
+    i2c.should_use_im2col = i2c._orig_should_use_im2col
+    if lowering == "i2cinc":
+        # candidate arm (VERDICT r2 weak #1): auto + im2col where Ci <= 8 —
+        # the 128^3 5->64 inc conv (isolated: lax 37.4 ms vs im2col 14.0,
+        # BENCH.md per-conv table; col buffer ~0.57 GB at 128^3 bf16)
+        i2c.should_use_im2col = lambda spatial, cin, cout: (
+            i2c._orig_should_use_im2col(spatial, cin, cout) or cin <= 8
+        )
+        lowering = "auto"
     if lowering.startswith("selp"):
         # 'selp<N>': auto + hybrid with the PALLAS dW kernel at
         # 8 < spatial <= N (keeps the 128^3 Pallas kernels, which the

@@ -13,12 +13,17 @@ Recommended runs (recorded in PARITY.md):
   BPH, 64³, base 64, real reference class:
     python tools/convergence_parity_scaled.py --data_type BPH --size 64 \
         --use_reference_class --epochs 12
-  PCA, 64³, base 16, compact torch model:
+  PCA, 64³, base 64, real reference class:
     python tools/convergence_parity_scaled.py --data_type PCA --size 64 \
-        --features 16 --epochs 12
+        --use_reference_class --epochs 12
+  Recalibration-free eval-mode row (enough steps that BN running stats
+  catch the weights in BOTH stacks — no crutch on either side):
+    python tools/convergence_parity_scaled.py --data_type BPH --size 64 \
+        --use_reference_class --epochs 40 --cases 12 --bn_recalib_passes 0
 
-Prints a JSON report; PASS if val_dice_jax >= val_dice_torch - 0.03
-(one-sided: parity-or-better) and val_dice_jax > 0.5.
+Prints a JSON report; PASS if val_dice_jax >= val_dice_torch - 0.005
+(one-sided, the north star's 0.5%-of-Dice band: we may converge at most
+0.5 Dice points worse; better is success) and val_dice_jax > 0.5.
 """
 
 import argparse
@@ -236,10 +241,10 @@ def main():
             "train_dice_torch": round(train_torch, 4),
         }
         print(json.dumps(report, indent=2))
-        # one-sided gate: parity-or-better. The north-star target bounds how
-        # much WORSE we may converge than the reference; beating it (e.g.
-        # PCA base-16: ours 0.976 vs torch 0.917) is success, not failure.
-        ok = val_jax >= val_torch - 0.03 and val_jax > 0.5
+        # one-sided gate at the north star's 0.5%: we may converge at most
+        # 0.005 Dice WORSE than the reference; beating it (e.g. PCA
+        # base-16: ours 0.976 vs torch 0.917) is success, not failure.
+        ok = val_jax >= val_torch - 0.005 and val_jax > 0.5
         print(f"CONVERGENCE PARITY {'OK' if ok else 'FAIL'}")
         return 0 if ok else 1
 
