@@ -7,6 +7,12 @@ exactly: same shuffle plan (both derive from config.seed + epoch), same
 bf16/uint8 wire values, same step math.
 """
 
+import pytest
+
+# compile-heavy on a 1-core host (measured; see pyproject's marker
+# registration) - excluded from the quick lane `pytest -m 'not slow'`
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -2,6 +2,12 @@
 cross-validate → validate → predict → CLI. The whole capability surface on
 tiny shapes (SURVEY.md §4's integration-test plan)."""
 
+import pytest
+
+# compile-heavy on a 1-core host (measured; see pyproject's marker
+# registration) - excluded from the quick lane `pytest -m 'not slow'`
+pytestmark = pytest.mark.slow
+
 import json
 import os
 

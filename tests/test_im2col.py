@@ -1,6 +1,12 @@
 """im2col conv lowering (ops/im2col.py): numerics vs lax conv, custom-VJP
 gradient correctness, module/checkpoint interchangeability, lowering rule."""
 
+import pytest
+
+# compile-heavy on a 1-core host (measured; see pyproject's marker
+# registration) - excluded from the quick lane `pytest -m 'not slow'`
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

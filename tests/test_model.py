@@ -1,5 +1,11 @@
 """UNet3D structural tests (small base_features to keep CPU compiles fast)."""
 
+import pytest
+
+# compile-heavy on a 1-core host (measured; see pyproject's marker
+# registration) - excluded from the quick lane `pytest -m 'not slow'`
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -6,6 +6,12 @@ global batches, and a full Trainer run (including a multi-host Orbax
 checkpoint save) across two real OS processes with gloo CPU collectives.
 """
 
+import pytest
+
+# compile-heavy on a 1-core host (measured; see pyproject's marker
+# registration) - excluded from the quick lane `pytest -m 'not slow'`
+pytestmark = pytest.mark.slow
+
 import os
 import re
 import socket

@@ -1,6 +1,12 @@
 """PredictionServer (serve verb) + cache warmer: resident-predictor loop
 over arriving case dirs, idempotent restart, CLI wiring."""
 
+import pytest
+
+# compile-heavy on a 1-core host (measured; see pyproject's marker
+# registration) - excluded from the quick lane `pytest -m 'not slow'`
+pytestmark = pytest.mark.slow
+
 import os
 import shutil
 

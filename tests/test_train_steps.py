@@ -1,6 +1,12 @@
 """Train/eval step tests: convergence on synthetic blobs, LR injection,
 label reconciliation, and 8-device data-parallel sharding."""
 
+import pytest
+
+# compile-heavy on a 1-core host (measured; see pyproject's marker
+# registration) - excluded from the quick lane `pytest -m 'not slow'`
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,5 +1,11 @@
 """Trainer end-to-end on multi-device meshes (virtual CPU devices)."""
 
+import pytest
+
+# compile-heavy on a 1-core host (measured; see pyproject's marker
+# registration) - excluded from the quick lane `pytest -m 'not slow'`
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import pytest
 

@@ -1,6 +1,12 @@
 """Flip-ensemble TTA (infer/tta.py): exact ensemble math, invariance,
 Predictor/CLI wiring."""
 
+import pytest
+
+# compile-heavy on a 1-core host (measured; see pyproject's marker
+# registration) - excluded from the quick lane `pytest -m 'not slow'`
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import pytest
 
