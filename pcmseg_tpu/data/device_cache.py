@@ -18,13 +18,17 @@ upload every preprocessed case ONCE and never stream again:
     ops, negligible next to the convs), so cached training still sees
     fresh augmentation every epoch.
 
-Scope: single-process meshes of any shape. On multi-device meshes the
-stacks shard over ('data' × case axis, 'spatial' × D axis) — per-device
-cost is total/(dp·sp) and the in-step gather's cross-shard traffic rides
-ICI via GSPMD-inserted collectives (still orders of magnitude faster
-than host streaming). Multi-host keeps the per-process streaming loader.
-The trainer enables the cache automatically when the per-device share
-fits ``config.device_data_cache_gb`` (0 disables).
+Scope: meshes of any shape, single- OR multi-process. On multi-device
+meshes the stacks shard over ('data' × case axis, 'spatial' × D axis) —
+per-device cost is total/(dp·sp) and the in-step gather's cross-shard
+traffic rides ICI (or DCN across hosts) via GSPMD-inserted collectives
+(still orders of magnitude faster than host streaming + H2D every
+batch). Multi-host builds the stacks with ``jax.make_array_from_callback``
+so each process decodes ONLY the cases its addressable shards cover, and
+gathers batches with globally-identical index vectors (the index stream
+is a pure function of config.seed — no coordination traffic). The
+trainer enables the cache automatically when the per-device share fits
+``config.device_data_cache_gb`` (0 disables).
 
 Augmentation parity note: device augmentation draws from the JAX PRNG,
 not the host NumPy generator, so a cached run's augmentation stream
@@ -85,39 +89,117 @@ def build_device_cache(
         return memo[memo_key]
 
     n = len(dataset)
-    samples: list = [None] * n
-    with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
-        for i, s in zip(range(n), pool.map(dataset.load_case, range(n))):
-            samples[i] = s
-    images = np.stack([s["image"] for s in samples]).astype(ml_dtypes.bfloat16)
-    labels = np.stack([s["label"] for s in samples]).astype(np.uint8)
-    case_ids = [s["case_id"] for s in samples]
+    multiproc = jax.process_count() > 1
 
-    if mesh is not None and int(np.prod(tuple(mesh.shape.values()))) > 1:
-        dp = mesh.shape["data"]
-        if n % dp:
-            pad = dp - n % dp  # may exceed n (tiny cohort on a wide mesh)
-            images = np.concatenate(
-                [images, np.zeros((pad, *images.shape[1:]), images.dtype)]
-            )
-            labels = np.concatenate(
-                [labels, np.zeros((pad, *labels.shape[1:]), labels.dtype)]
-            )
-        sh = cache_sharding(mesh)
-        put = lambda a: jax.device_put(a, sh)  # noqa: E731
+    if multiproc:
+        if mesh is None:
+            raise ValueError("multi-process device cache requires a mesh")
+        cache = _build_multiprocess(dataset, num_workers, mesh)
     else:
-        put = jax.device_put
-    cache = {
-        "images": put(images),
-        "labels": put(labels),
-        "case_ids": case_ids,
-    }
+        samples: list = [None] * n
+        with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
+            for i, s in zip(range(n), pool.map(dataset.load_case, range(n))):
+                samples[i] = s
+        images = np.stack(
+            [s["image"] for s in samples]
+        ).astype(ml_dtypes.bfloat16)
+        labels = np.stack([s["label"] for s in samples]).astype(np.uint8)
+        case_ids = [s["case_id"] for s in samples]
+
+        if mesh is not None and int(np.prod(tuple(mesh.shape.values()))) > 1:
+            dp = mesh.shape["data"]
+            if n % dp:
+                pad = dp - n % dp  # may exceed n (tiny cohort, wide mesh)
+                images = np.concatenate(
+                    [images, np.zeros((pad, *images.shape[1:]), images.dtype)]
+                )
+                labels = np.concatenate(
+                    [labels, np.zeros((pad, *labels.shape[1:]), labels.dtype)]
+                )
+            sh = cache_sharding(mesh)
+            put = lambda a: jax.device_put(a, sh)  # noqa: E731
+        else:
+            put = jax.device_put
+        cache = {
+            "images": put(images),
+            "labels": put(labels),
+            "case_ids": case_ids,
+        }
     try:
         memo[memo_key] = cache
         dataset._device_cache_memo = memo
     except AttributeError:
         pass
     return cache
+
+
+def _build_multiprocess(dataset, num_workers: int, mesh):
+    """Globally-sharded stacks where each process decodes ONLY the cases
+    its addressable shards cover.
+
+    ``jax.make_array_from_callback`` asks for one numpy block per
+    addressable device shard; the callback decodes the block's case rows
+    (memoized per case — a 'spatial'-split D axis requests the same case
+    for several shards) and slices out the shard. Padded rows (case axis
+    up to a data-axis multiple) are zeros and never indexed. No process
+    ever materializes the full stack, and no coordination traffic is
+    needed: case discovery is deterministic, so every process sees the
+    same global order.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    import ml_dtypes
+
+    n = len(dataset)
+    dp = mesh.shape["data"]
+    pad = (dp - n % dp) % dp
+    sample0 = dataset.load_case(0)
+    img_shape = sample0["image"].shape  # (D,H,W,C)
+    lab_shape = sample0["label"].shape  # (D,H,W,1)
+    decoded: dict = {0: sample0}
+
+    def get_case(i: int):
+        if i not in decoded:
+            decoded[i] = dataset.load_case(i)
+        return decoded[i]
+
+    sh = cache_sharding(mesh)
+
+    # pre-decode this process's rows concurrently (the callback itself is
+    # called serially); rows beyond n are padding
+    my_rows = set()
+    for d in sh.addressable_devices:
+        idx = sh.devices_indices_map((n + pad, *img_shape))[d]
+        r = idx[0]
+        my_rows.update(
+            i for i in range(r.start or 0, min(r.stop or n + pad, n))
+        )
+    with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
+        for i, s in zip(sorted(my_rows), pool.map(get_case, sorted(my_rows))):
+            decoded[i] = s
+
+    def block(key, dtype, index):
+        rows = index[0]
+        out = []
+        for i in range(rows.start or 0, rows.stop or n + pad):
+            if i < n:
+                arr = np.asarray(get_case(i)[key]).astype(dtype)
+            else:
+                shape = img_shape if key == "image" else lab_shape
+                arr = np.zeros(shape, dtype)
+            out.append(arr[index[1:]] if len(index) > 1 else arr)
+        return np.stack(out)
+
+    images = jax.make_array_from_callback(
+        (n + pad, *img_shape), sh,
+        lambda idx: block("image", ml_dtypes.bfloat16, idx),
+    )
+    labels = jax.make_array_from_callback(
+        (n + pad, *lab_shape), sh,
+        lambda idx: block("label", np.uint8, idx),
+    )
+    case_ids = list(dataset.case_ids)
+    return {"images": images, "labels": labels, "case_ids": case_ids}
 
 
 def device_augment(

@@ -86,41 +86,111 @@ def save_checkpoint(
     if primary:
         with open(os.path.join(payload, "meta.json"), "w") as f:
             json.dump(_jsonable(meta or {}), f, indent=2)
-
-        # swap the new payload in
-        old_target = None
-        if os.path.islink(path):
-            old_target = os.path.join(directory, os.readlink(path))
-        elif os.path.isdir(path):
-            # legacy plain-directory checkpoint: move aside before linking
-            old_target = path + ".legacy"
-            if os.path.exists(old_target):
-                shutil.rmtree(old_target)
-            os.rename(path, old_target)
-        tmp_link = payload + ".lnk"
-        if os.path.lexists(tmp_link):
-            os.remove(tmp_link)
-        os.symlink(payload_name, tmp_link)
-        os.replace(tmp_link, path)  # atomic on POSIX
-
-        if old_target and os.path.exists(old_target):
-            shutil.rmtree(old_target)
-        # GC payload dirs orphaned by interrupted earlier saves
-        live = os.readlink(path)
-        prefix = f".{name}."
-        for entry in os.listdir(directory):
-            if (
-                entry.startswith(prefix)
-                and entry != live
-                and not entry.endswith(".lnk")
-                and entry[len(prefix):].isdigit()
-            ):
-                shutil.rmtree(os.path.join(directory, entry), ignore_errors=True)
+        _swap_in(directory, name, payload_name)
     if multiproc:
-        from jax.experimental import multihost_utils
-
-        multihost_utils.sync_global_devices(f"pcmseg_ckpt_{name}")
+        _process_barrier(f"pcmseg_ckpt_{payload_name}")
     return path
+
+
+def _process_barrier(tag: str, timeout_ms: int = 600_000) -> None:
+    """Cross-process barrier over the distributed COORDINATION SERVICE
+    (gRPC), not a device collective.
+
+    Why not ``multihost_utils.sync_global_devices``: that is an XLA psum —
+    a device computation. Async checkpointing runs saves in a worker
+    thread while the MAIN thread keeps dispatching training collectives;
+    two threads independently enqueueing device collectives can interleave
+    in different orders on different processes and deadlock the job. The
+    coordination-service barrier touches no device, so it is safe from any
+    thread. ``tag`` must be unique per call across the job and identical
+    across processes — callers pass the payload name, which carries the
+    lockstep save-sequence number.
+    """
+    from jax._src import distributed
+
+    client = getattr(distributed.global_state, "client", None)
+    if client is None:  # not a distributed run
+        return
+    client.wait_at_barrier(tag, timeout_in_ms=timeout_ms)
+
+
+def _swap_in(directory: str, name: str, payload_name: str) -> None:
+    """Atomically point {directory}/{name} at the new payload dir, then GC
+    the previous payload and any orphans of interrupted earlier saves."""
+    path = os.path.join(directory, name)
+    old_target = None
+    if os.path.islink(path):
+        old_target = os.path.join(directory, os.readlink(path))
+    elif os.path.isdir(path):
+        # legacy plain-directory checkpoint: move aside before linking
+        old_target = path + ".legacy"
+        if os.path.exists(old_target):
+            shutil.rmtree(old_target)
+        os.rename(path, old_target)
+    payload = os.path.join(directory, payload_name)
+    tmp_link = payload + ".lnk"
+    if os.path.lexists(tmp_link):
+        os.remove(tmp_link)
+    os.symlink(payload_name, tmp_link)
+    os.replace(tmp_link, path)  # atomic on POSIX
+
+    if old_target and os.path.exists(old_target):
+        shutil.rmtree(old_target)
+    # GC payload dirs orphaned by interrupted earlier saves
+    live = os.readlink(path)
+    prefix = f".{name}."
+    for entry in os.listdir(directory):
+        if (
+            entry.startswith(prefix)
+            and entry != live
+            and not entry.endswith(".lnk")
+            and entry[len(prefix):].isdigit()
+        ):
+            shutil.rmtree(os.path.join(directory, entry), ignore_errors=True)
+
+
+def copy_checkpoint(directory: str, src_name: str, dst_name: str) -> str:
+    """Duplicate an existing checkpoint under a new name WITHOUT touching
+    the device: host-side payload copy + the same atomic symlink swap.
+
+    Why this exists: 'best' at epoch e is byte-identical to 'latest' at
+    epoch e, but a second full save re-fetches the whole TrainState from
+    the device — and on a tunneled/remote chip that D2H (~1.1 GB for the
+    90M-param flagship state) dominates save cost and stalls the training
+    stream sharing the link (measured: see BENCH.md round-3 "Checkpoint
+    cost"). A disk-to-disk copy costs no device time at all.
+
+    Crash-safe like save_checkpoint: the copy lands in a hidden payload
+    dir and {dst_name} is an atomically-replaced symlink. Multi-host: all
+    processes advance the payload counter (keeping save sequences in
+    lockstep); filesystem work runs on the primary; global sync before
+    returning.
+    """
+    multiproc = jax.process_count() > 1
+    primary = jax.process_index() == 0
+    directory = _as_abspath(directory)
+    src = os.path.join(directory, src_name)
+    dst = os.path.join(directory, dst_name)
+
+    current = os.readlink(dst) if os.path.islink(dst) else None
+    while True:
+        payload_name = f".{dst_name}.{next(_SAVE_SEQ)}"
+        if payload_name != current:
+            break
+    if primary:
+        src_payload = (
+            os.path.join(directory, os.readlink(src))
+            if os.path.islink(src)
+            else src
+        )
+        payload = os.path.join(directory, payload_name)
+        if os.path.exists(payload):  # orphan from an older run
+            shutil.rmtree(payload)
+        shutil.copytree(src_payload, payload)
+        _swap_in(directory, dst_name, payload_name)
+    if multiproc:
+        _process_barrier(f"pcmseg_ckpt_copy_{payload_name}")
+    return dst
 
 
 def _jsonable(obj):

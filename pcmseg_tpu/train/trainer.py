@@ -36,6 +36,7 @@ from pcmseg_tpu.parallel.sharding import (
 )
 from pcmseg_tpu.train.checkpoints import (
     checkpoint_exists,
+    copy_checkpoint,
     load_checkpoint,
     save_checkpoint,
 )
@@ -180,18 +181,15 @@ class Trainer:
         self.state = shard_state(self.state, self.mesh)
 
         # async checkpointing needs the saved state's buffers to outlive
-        # the next optimizer update → no donation while it's on
-        self._async_ckpt = bool(
-            getattr(config, "async_checkpoint", False)
-            and self.process_count == 1
-        )
-        if getattr(config, "async_checkpoint", False) and not self._async_ckpt:
-            self.log.warning(
-                "async_checkpoint requested but process_count=%d > 1: "
-                "falling back to synchronous saves (multi-host saves "
-                "coordinate across processes and must block)",
-                self.process_count,
-            )
+        # the next optimizer update → no donation while it's on.
+        # Multi-host async is safe because every cross-process sync in the
+        # save path (ours and Orbax's) is a coordination-SERVICE barrier,
+        # not a device collective — worker threads never enqueue device
+        # ops that could interleave against the main thread's training
+        # collectives (checkpoints.py _process_barrier). Each process runs
+        # its own worker; saves stay in lockstep because submission order
+        # is epoch order on every process.
+        self._async_ckpt = bool(getattr(config, "async_checkpoint", False))
         self._ckpt_pool = None
         self._ckpt_futures: List = []
         donate = config.donate_state and not self._async_ckpt
@@ -201,16 +199,17 @@ class Trainer:
         )
         self._eval_step = jit_eval_step(make_eval_step(self.model, config))
 
-        # -- device-resident dataset cache (single-chip fast path) -----------
+        # -- device-resident dataset cache ------------------------------------
         # the streaming loader is H2D-transfer-bound (BENCH.md "End-to-end
         # training throughput"); when the whole preprocessed dataset fits
-        # the HBM budget, upload it once and gather batches on device
+        # the HBM budget, upload it once and gather batches on device.
+        # Multi-host: each process decodes only its shard's cases
+        # (device_cache._build_multiprocess); batch gathers use identical
+        # seed-derived index vectors on every process, with GSPMD moving
+        # cross-shard rows over ICI/DCN
         self._dcache = None
         mesh_size = int(np.prod(tuple(self.mesh.shape.values())))
-        if (
-            self.process_count == 1
-            and getattr(config, "device_data_cache_gb", 0) > 0
-        ):
+        if getattr(config, "device_data_cache_gb", 0) > 0:
             from pcmseg_tpu.data.device_cache import (
                 build_device_cache,
                 dataset_device_bytes,
@@ -272,19 +271,37 @@ class Trainer:
 
     # -- checkpoint plumbing ---------------------------------------------------
 
-    def _save(self, name: str, epoch: int, monitor: float) -> None:
-        """Write a checkpoint — synchronously, or (async_checkpoint) in a
-        background thread overlapping the next epoch.
+    def _save_epoch(
+        self,
+        epoch: int,
+        monitor: float,
+        is_best: bool,
+        periodic: Optional[str] = None,
+    ) -> None:
+        """Write this epoch's checkpoints — synchronously, or
+        (async_checkpoint) in a background thread overlapping the next
+        epoch.
+
+        ONE device fetch per epoch: the state is serialized once into
+        'latest'; 'best' and periodic 'epoch_{N}' checkpoints — the SAME
+        state — are host-side payload copies (copy_checkpoint), not second
+        saves. On a tunneled/remote chip the D2H fetch dominates save cost
+        and contends with the training stream on the same link (measured,
+        BENCH.md round-3 "Checkpoint cost": full save ~23 s vs disk copy
+        ~1 s for the flagship state), so the naive save-twice-on-improve
+        doubled the checkpoint stall of most early epochs.
 
         Async safety & bounds:
           * donation is off in async mode, so a submitted state's buffers
             stay valid while the writer fetches them;
           * the meta dict is deep-copied at submit time (the live history
             keeps growing under the writer);
-          * LATEST-WINS COLLAPSING: a queued-but-not-started save of the
-            same name is cancelled when a newer snapshot arrives — an
-            intermediate 'latest'/'best' that was never the newest has no
-            durability value, and dropping it releases its state's HBM;
+          * LATEST-WINS COLLAPSING: a queued-but-not-started task is
+            cancelled when a newer one of the same strength arrives
+            ('latest' collapses onto newer 'latest', 'best'+latest onto
+            newer 'best'+latest — the newer best is strictly better; a
+            plain 'latest' never cancels a queued 'best', and periodic
+            tasks are never collapsed);
           * BACKPRESSURE: at most 2 snapshots outstanding — without this,
             epochs faster than the storage link accumulate one full
             optimizer state per epoch until HBM exhausts (measured: the
@@ -292,8 +309,20 @@ class Trainer:
         Failures surface at the next epoch boundary / end of training.
         """
         meta = self._meta(epoch, monitor)
+        latest = self._ckpt_name("latest")
+        copies = []
+        if is_best:
+            copies.append(self._ckpt_name("best"))
+        if periodic:
+            copies.append(self._ckpt_name(periodic))
+
+        def work(state, meta_snapshot):
+            save_checkpoint(self.config.save_dir, latest, state, meta_snapshot)
+            for dst in copies:
+                copy_checkpoint(self.config.save_dir, latest, dst)
+
         if not self._async_ckpt:
-            save_checkpoint(self.config.save_dir, name, self.state, meta)
+            work(self.state, meta)
             return
         import copy
         from concurrent.futures import ThreadPoolExecutor
@@ -302,13 +331,19 @@ class Trainer:
             self._ckpt_pool = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="pcmseg_ckpt"
             )
-        # latest-wins: cancel a same-name save still waiting to start
-        kept = []
-        for n, f in self._ckpt_futures:
-            if n == name and f.cancel():
-                continue
-            kept.append((n, f))
-        self._ckpt_futures = kept
+        # task name = strongest component it writes (collapsing key).
+        # Collapsing is single-process only: whether a queued save can be
+        # cancelled depends on local worker timing, so across processes it
+        # would desynchronize the lockstep save sequence that Orbax's
+        # barriers and the payload-name counter both rely on.
+        name = "periodic" if periodic else ("best" if is_best else "latest")
+        if name != "periodic" and self.process_count == 1:
+            kept = []
+            for n, f in self._ckpt_futures:
+                if n == name and f.cancel():
+                    continue
+                kept.append((n, f))
+            self._ckpt_futures = kept
         # backpressure: wait until <2 un-finished snapshots remain
         while True:
             live = [
@@ -320,16 +355,7 @@ class Trainer:
             live[0][1].result()  # oldest; re-raises writer failures
         self._prune_done()
         self._ckpt_futures.append(
-            (
-                name,
-                self._ckpt_pool.submit(
-                    save_checkpoint,
-                    self.config.save_dir,
-                    name,
-                    self.state,
-                    copy.deepcopy(meta),
-                ),
-            )
+            (name, self._ckpt_pool.submit(work, self.state, copy.deepcopy(meta)))
         )
 
     def _prune_done(self) -> None:
@@ -648,13 +674,12 @@ class Trainer:
             is_best = monitor < self.best_monitor
             if is_best:
                 self.best_monitor = monitor
-            self._save(self._ckpt_name("latest"), epoch, monitor)
-            if is_best:
-                self._save(self._ckpt_name("best"), epoch, monitor)
-            if cfg.save_frequency and (epoch + 1) % cfg.save_frequency == 0:
-                self._save(
-                    self._ckpt_name(f"epoch_{epoch + 1}"), epoch, monitor
-                )
+            periodic = (
+                f"epoch_{epoch + 1}"
+                if cfg.save_frequency and (epoch + 1) % cfg.save_frequency == 0
+                else None
+            )
+            self._save_epoch(epoch, monitor, is_best, periodic)
 
             if cfg.early_stopping and self.early_stopping.step(monitor):
                 self.log.info("early stopping at epoch %d", epoch)

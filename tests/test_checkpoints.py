@@ -281,3 +281,72 @@ def test_latest_meta_carries_updated_best_monitor(tmp_path):
 
     t2 = Trainer(cfg.replace(resume=True))
     assert t2.best_monitor == pytest.approx(h["train_loss"][0])
+
+
+def test_copy_checkpoint_no_device_fetch(tmp_path):
+    """'best' as a host-side copy of 'latest': loadable, independent of
+    later overwrites of the source, atomic symlink layout."""
+    import os
+
+    from pcmseg_tpu.train.checkpoints import copy_checkpoint
+
+    config = tiny_config()
+    model = UNet3D.from_config(config)
+    state = create_train_state(config, jax.random.key(0), model)
+    save_checkpoint(str(tmp_path), "latest", state, {"epoch": 3, "monitor": 0.2})
+    copy_checkpoint(str(tmp_path), "latest", "best")
+
+    assert os.path.islink(tmp_path / "best")
+    template = create_train_state(config, jax.random.key(1), model)
+    restored, meta = load_checkpoint(str(tmp_path / "best"), template)
+    assert meta["epoch"] == 3
+    for a, b in zip(
+        jax.tree.leaves(state.params), jax.tree.leaves(restored.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # overwriting 'latest' afterwards must not disturb the copied 'best'
+    state2 = create_train_state(config, jax.random.key(2), model)
+    save_checkpoint(str(tmp_path), "latest", state2, {"epoch": 4})
+    _, meta_best = load_checkpoint(str(tmp_path / "best"), template)
+    assert meta_best["epoch"] == 3
+    # and re-copying points 'best' at the new state
+    copy_checkpoint(str(tmp_path), "latest", "best")
+    _, meta_best2 = load_checkpoint(str(tmp_path / "best"), template)
+    assert meta_best2["epoch"] == 4
+
+
+def test_trainer_best_is_copy_of_latest(tmp_path):
+    """The epoch save path serializes once: best/ and latest/ hold equal
+    states after training, including in async mode."""
+    import os
+
+    from pcmseg_tpu.data.synthetic import make_synthetic_dataset
+    from pcmseg_tpu.train.trainer import Trainer
+
+    root = str(tmp_path / "data")
+    make_synthetic_dataset(root, n_cases=4, shape=(20, 20, 20), seed=5)
+    for sub, async_ckpt in (("sync", False), ("async", True)):
+        save_dir = str(tmp_path / sub)
+        config = tiny_config(
+            data_dir=root, save_dir=save_dir, num_epochs=2, batch_size=2,
+            validation=False, early_stopping=False, save_frequency=2,
+            async_checkpoint=async_ckpt,
+        )
+        Trainer(config).train()
+        template = create_train_state(
+            config, jax.random.key(1), UNet3D.from_config(config)
+        )
+        latest, meta_l = load_checkpoint(os.path.join(save_dir, "latest"), template)
+        best, meta_b = load_checkpoint(os.path.join(save_dir, "best"), template)
+        epoch2, _ = load_checkpoint(os.path.join(save_dir, "epoch_2"), template)
+        # training loss decreases monotonically here, so best == latest ==
+        # the periodic epoch_2 snapshot
+        assert meta_l["epoch"] == 1 and meta_b["epoch"] == 1
+        for a, b, c in zip(
+            jax.tree.leaves(latest.params),
+            jax.tree.leaves(best.params),
+            jax.tree.leaves(epoch2.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))

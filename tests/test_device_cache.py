@@ -68,7 +68,18 @@ def test_cached_epoch_matches_streaming(data_root, tmp_path):
         val = tr.validate_epoch()
         histories[name] = (loss, val["loss"], val["dice"])
     s, c = histories["stream"], histories["cached"]
-    np.testing.assert_allclose(c, s, rtol=1e-5)
+    _assert_epoch_match(c, s)
+
+
+def _assert_epoch_match(cached, stream):
+    """Continuous losses must match to fp tolerance; the THRESHOLDED val
+    dice gets a small absolute band — sigmoid(p) > 0.5 is discrete, and
+    the cached/streaming programs are differently-fused XLA graphs, so a
+    single borderline voxel may flip and move dice by ~1/|mask| (observed:
+    3.5e-5 after the round-3 im2col lowering changed fusion) while the
+    losses stay bit-identical."""
+    np.testing.assert_allclose(cached[:2], stream[:2], rtol=1e-5)
+    np.testing.assert_allclose(cached[2], stream[2], atol=1e-3)
 
 
 def test_cache_respects_budget(data_root, tmp_path):
@@ -132,6 +143,4 @@ def test_cached_epoch_matches_streaming_sharded(data_root, tmp_path):
         loss = tr.train_epoch()
         val = tr.validate_epoch()
         histories[name] = (loss, val["loss"], val["dice"])
-    np.testing.assert_allclose(
-        histories["cached"], histories["stream"], rtol=1e-5
-    )
+    _assert_epoch_match(histories["cached"], histories["stream"])

@@ -66,7 +66,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_training_cluster(tmp_path):
+def _run_cluster(tmp_path, mode: str) -> str:
+    """Spawn the 2-process gloo cluster; returns the shared ckpt dir."""
     root = str(tmp_path / "data")
     make_synthetic_dataset(root, n_cases=6, shape=(12, 12, 12), seed=7)
     port = _free_port()
@@ -83,7 +84,7 @@ def test_two_process_training_cluster(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(pid), str(port), root,
-             str(tmp_path / "ckpt")],
+             str(tmp_path / "ckpt"), mode],
             env=env,
             cwd=repo_root,
             stdout=subprocess.PIPE,
@@ -107,6 +108,33 @@ def test_two_process_training_cluster(tmp_path):
     from pcmseg_tpu.train.checkpoints import checkpoint_exists
 
     assert checkpoint_exists(str(tmp_path / "ckpt"), "latest")
+    return str(tmp_path / "ckpt")
+
+
+def test_two_process_training_cluster(tmp_path):
+    _run_cluster(tmp_path, "sync")
+
+
+def test_two_process_cluster_device_cache(tmp_path):
+    """Multi-host device-resident dataset cache: globally-sharded stacks
+    built with each process decoding only its shard
+    (device_cache._build_multiprocess), in-step gathers from identical
+    seed-derived index vectors, losses bit-identical across processes."""
+    _run_cluster(tmp_path, "cache")
+
+
+def test_two_process_cluster_async_checkpoints(tmp_path):
+    """Multi-host ASYNC saves: background writer threads on every process,
+    coordination-service barriers only (no device collectives off the main
+    thread), epoch-1 state durable and 'best' present as a payload copy."""
+    import json
+
+    ckpt = _run_cluster(tmp_path, "async")
+    meta = json.load(open(os.path.join(ckpt, "latest", "meta.json")))
+    assert meta["epoch"] == 1  # both epochs' saves landed, last one wins
+    from pcmseg_tpu.train.checkpoints import checkpoint_exists
+
+    assert checkpoint_exists(ckpt, "best")
 
 
 def test_make_global_batch_single_process():
