@@ -53,6 +53,11 @@ def main():
     ap.add_argument("--data_type", choices=["BPH", "PCA"], default="BPH")
     ap.add_argument("--use_reference_class", action="store_true",
                     help="torch side = the real reference UNet3D (base 64)")
+    ap.add_argument("--save_ckpt", default=None,
+                    help="write the trained jax variables (params + "
+                         "batch_stats, flax msgpack) here after eval — "
+                         "feeds tools/bench_tta.py's converged-model TTA "
+                         "A/B (VERDICT round-2 #4)")
     ap.add_argument("--bn_recalib_passes", type=int, default=10,
                     help="BN running-stat recalibration passes over the "
                          "train split before eval, applied to BOTH stacks "
@@ -220,6 +225,13 @@ def main():
 
         val_jax, val_torch = split_dice(val_idx)
         train_jax, train_torch = split_dice(train_idx)
+
+        if args.save_ckpt:
+            import flax.serialization
+
+            with open(args.save_ckpt, "wb") as f:
+                f.write(flax.serialization.to_bytes(variables))
+            print(f"saved trained variables -> {args.save_ckpt}")
 
         report = {
             "data_type": args.data_type,
