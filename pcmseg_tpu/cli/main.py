@@ -167,6 +167,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="number of cases the serve trace covers "
                          "(default: config.profile_steps)")
 
+    # export: our checkpoint → reference-compatible torch .pth
+    pe = sub.add_parser(
+        "export",
+        help="export a checkpoint to a reference-compatible torch .pth",
+    )
+    _add_common_flags(pe)
+    pe.add_argument("--model_path", required=True,
+                    help="checkpoint dir (Orbax) to export")
+    pe.add_argument("--output", required=True,
+                    help="destination .pth path ({'model_state_dict': ...},"
+                         " loadable by the reference's validate/predict)")
+
     # warm-cache: populate the preprocessing cache up front
     pw = sub.add_parser(
         "warm-cache",
@@ -347,6 +359,40 @@ def cmd_serve(args) -> int:
     return 2 if stats.get("waiting") else 0
 
 
+def cmd_export(args) -> int:
+    """Round-trip exit door: write the reference's .pth checkpoint format.
+
+    The reference loads ``{'model_state_dict': ...}`` dicts
+    (script/validate_model.py:174-180); ``export_torch_checkpoint``
+    produces exactly that (torch-layout OIDHW kernels, BN running stats),
+    so a model trained here drops into the reference's validate/predict
+    unchanged. Architecture/preprocessing fields come from the
+    checkpoint's own meta.json snapshot (explicit flags win).
+    """
+    import json
+    import os
+
+    from pcmseg_tpu.infer.validate import adopt_checkpoint_config, load_model_state
+    from pcmseg_tpu.train.checkpoints import export_torch_checkpoint
+
+    config, explicit = _config_from_args(args, with_explicit=True)
+    config = adopt_checkpoint_config(config, args.model_path, explicit)
+    _, state = load_model_state(config, args.model_path)
+    meta = {"exported_from": os.path.abspath(args.model_path)}
+    meta_file = os.path.join(args.model_path, "meta.json")
+    if os.path.isdir(args.model_path) and os.path.exists(meta_file):
+        with open(meta_file) as f:
+            snap = json.load(f)
+        for k in ("epoch", "monitor", "best_monitor", "config"):
+            if k in snap:
+                meta[k] = snap[k]
+    out_dir = os.path.dirname(os.path.abspath(args.output))
+    os.makedirs(out_dir, exist_ok=True)
+    out = export_torch_checkpoint(args.output, state, meta=meta)
+    print(f"exported: {out}")
+    return 0
+
+
 def cmd_warm_cache(args) -> int:
     from pcmseg_tpu.data.warm_cache import warm_cache
 
@@ -390,6 +436,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         "validate": cmd_validate,
         "predict": cmd_predict,
         "serve": cmd_serve,
+        "export": cmd_export,
         "warm-cache": cmd_warm_cache,
     }
     try:

@@ -62,7 +62,23 @@ def adopt_checkpoint_config(
     log = get_logger("pcmseg.validate")
     explicit_set = set(explicit)
     if checkpoint_path.endswith((".pth", ".pt")):
-        if "normalize" not in explicit_set and config.normalize != "minmax":
+        # our own exports (run.py export) embed the training config
+        # snapshot in the payload — a round-tripped .pth is as
+        # self-describing as the Orbax dir it came from. Reference-trained
+        # .pth files have no such key and fall through to the minmax
+        # default below.
+        snap = {}
+        if os.path.exists(checkpoint_path):
+            import torch
+
+            payload = torch.load(
+                checkpoint_path, map_location="cpu", weights_only=False
+            )
+            if isinstance(payload, dict):
+                snap = payload.get("config") or {}
+        if snap:
+            config = _adopt_fields(config, snap, explicit_set, log)
+        elif "normalize" not in explicit_set and config.normalize != "minmax":
             log.info(
                 "torch checkpoint: defaulting normalize=%r -> 'minmax' to "
                 "match the reference's own inference (pass --normalize to "
@@ -79,6 +95,10 @@ def adopt_checkpoint_config(
 
     with open(meta_file) as f:
         snap = json.load(f).get("config") or {}
+    return _adopt_fields(config, snap, explicit_set, log)
+
+
+def _adopt_fields(config: Config, snap: dict, explicit_set: set, log) -> Config:
     updates = {}
     for k in _ARCH_KEYS + _PREP_KEYS:
         if k not in snap or k in explicit_set:

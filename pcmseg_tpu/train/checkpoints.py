@@ -284,6 +284,20 @@ def params_from_torch_state_dict(state_dict, params) -> Any:
         return np.asarray(t.detach().cpu().numpy())
 
     flat = dict(state_dict.items())
+
+    # fail with a readable message, not a flax scope error deep in apply:
+    # the first conv pins base_features (torch layout O,I,kD,kH,kW vs our
+    # kernel (kD,kH,kW,I,O))
+    got = tuple(flat["inc.conv.0.weight"].shape)
+    want_k = np.asarray(params["inc"]["conv0"]["kernel"]).shape
+    want = (want_k[4], want_k[3], want_k[0], want_k[1], want_k[2])
+    if got != want:
+        raise ValueError(
+            f"torch checkpoint architecture mismatch: inc conv weight is "
+            f"{got}, expected {want} — the checkpoint was trained with "
+            f"base_features={got[0]}/n_modalities={got[1]}; pass matching "
+            f"--base_features (and config) when loading it"
+        )
     new_params = jax.tree_util.tree_map(lambda x: x, params)  # copy structure
 
     def conv_kernel(w):

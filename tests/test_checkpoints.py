@@ -216,6 +216,38 @@ def test_adopt_checkpoint_config_pth_defaults_minmax(tmp_path):
     assert kept.normalize == "percentile"
 
 
+def test_adopt_checkpoint_config_pth_with_embedded_snapshot(tmp_path):
+    """Our exported .pth files carry the training config in the payload
+    (run.py export) — they must self-describe like Orbax dirs do, instead
+    of falling to the reference-.pth minmax default."""
+    import torch
+
+    from pcmseg_tpu.infer.validate import adopt_checkpoint_config
+
+    trained = tiny_config(base_features=8, normalize="zscore")
+    path = str(tmp_path / "exported.pth")
+    torch.save({"model_state_dict": {}, "config": trained.to_dict()}, path)
+
+    adopted = adopt_checkpoint_config(tiny_config(), path)
+    assert adopted.base_features == 8
+    assert adopted.normalize == "zscore"  # not the minmax fallback
+    kept = adopt_checkpoint_config(tiny_config(), path, explicit=("normalize",))
+    assert kept.normalize == tiny_config().normalize
+
+
+def test_torch_import_shape_mismatch_is_readable(tmp_path):
+    """A .pth whose base_features disagrees with the template must raise a
+    named architecture error up front, not a flax scope error mid-apply."""
+    import torch
+
+    from pcmseg_tpu.train.checkpoints import params_from_torch_state_dict
+
+    template = {"inc": {"conv0": {"kernel": np.zeros((3, 3, 3, 5, 8))}}}
+    sd = {"inc.conv.0.weight": torch.zeros((4, 5, 3, 3, 3))}
+    with pytest.raises(ValueError, match="base_features=4"):
+        params_from_torch_state_dict(sd, template)
+
+
 def test_async_checkpoint_saves_and_resumes(tmp_path):
     """async_checkpoint=True: saves overlap training via a writer thread,
     end-of-training drains, and the checkpoints resume exactly like

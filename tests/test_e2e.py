@@ -266,6 +266,54 @@ def test_cli_predict_sliding_window(trained, data_root, tmp_path, capsys):
     assert set(np.unique(pred.data)) <= {0, 1}
 
 
+def test_cli_export_roundtrip(trained, data_root, tmp_path, capsys):
+    """run.py export writes the reference's .pth format and the round trip
+    is lossless: validating the exported .pth scores identically to
+    validating the Orbax checkpoint it came from."""
+    import torch
+
+    from pcmseg_tpu.cli.main import main
+
+    config, save_dir, _ = trained
+    pth = str(tmp_path / "exported" / "model.pth")
+    rc = main(
+        ["export", "--model_path", os.path.join(save_dir, "best"),
+         "--output", pth]
+    )
+    assert rc == 0 and os.path.exists(pth)
+
+    # reference-compatible payload (script/validate_model.py:174-180):
+    # model_state_dict with torch-layout kernels and BN running stats
+    payload = torch.load(pth, map_location="cpu", weights_only=False)
+    sd = payload["model_state_dict"]
+    assert sd["inc.conv.0.weight"].shape == (4, 5, 3, 3, 3)  # OIDHW
+    assert any(k.endswith("running_mean") for k in sd)
+    assert "epoch" in payload  # meta.json carried over
+
+    common = [
+        "--data_dir", data_root,
+        "--target_size", "16", "16", "16",
+        "--base_features", "4",
+        "--batch_size", "2",
+        "--save_dir", str(tmp_path),
+    ]
+    rc = main(
+        ["validate", "--model_path", os.path.join(save_dir, "best"), *common]
+    )
+    assert rc == 0
+    orbax_line = capsys.readouterr().out.strip().splitlines()[-1]
+    # .pth checkpoints default to the reference's minmax inference
+    # normalization — override back to the training-time normalize so the
+    # comparison isolates the weight round trip
+    rc = main(
+        ["validate", "--model_path", pth, "--normalize", "percentile",
+         *common]
+    )
+    assert rc == 0
+    pth_line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert pth_line == orbax_line
+
+
 def test_cross_validation_resume_skips_completed_folds(data_root, tmp_path):
     """CV restart after a mid-run kill: completed folds (marked by their
     fold_{k}_history.json) are skipped without retraining; the interrupted

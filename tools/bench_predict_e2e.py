@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""End-to-end mixed-cohort full-volume serving bench (BASELINE.json configs[4]).
+
+The one benchmark config without a disk-to-disk on-chip record:
+"End-to-end predict.py sliding-window inference on mixed BPH+PCA cases at
+full volume resolution". (The reference's own path — script/predict.py:8-257
+— is not even runnable here: SimpleITK isn't installed and its CLI predict
+verb is a stub, run.py:237.) This measures OUR full product path through
+the resident PredictionServer: NIfTI decode → percentile normalize →
+5-modality stack → on-device Gaussian-blended sliding window (128³
+windows, overlap 0.5, tile batch 4) → threshold → NIfTI write with copied
+spatial metadata. One checkpoint load + one compile serve every case.
+
+Two passes over the same staged cases: pass 1 includes the compile (the
+output files are then deleted, which re-pends every case — output
+existence is the serve loop's completion marker), pass 2 is the
+steady-state number a resident server delivers.
+
+Usage:
+    python tools/bench_predict_e2e.py [--cases_per_type 3]
+        [--shape 192 192 160] [--window 128 128 128]
+"""
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def stage_case(data_root, data_type, modalities, case_id, dest_root, name):
+    case_dir = os.path.join(dest_root, name)
+    for m in modalities:
+        os.makedirs(os.path.join(case_dir, m), exist_ok=True)
+        shutil.copy(
+            os.path.join(data_root, "BPH-PCA", data_type, m, f"{case_id}.nii.gz"),
+            os.path.join(case_dir, m, "image.nii.gz"),
+        )
+    return case_dir
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cases_per_type", type=int, default=3)
+    ap.add_argument("--shape", type=int, nargs=3, default=[192, 192, 160],
+                    metavar=("D", "H", "W"),
+                    help="native case resolution (bigger than the window "
+                         "in every axis → real overlap tiling)")
+    ap.add_argument("--window", type=int, nargs=3, default=[128, 128, 128])
+    ap.add_argument("--base_features", type=int, default=64)
+    args = ap.parse_args()
+
+    import jax
+
+    from pcmseg_tpu.core.cache import enable_compilation_cache
+    from pcmseg_tpu.core.config import get_config
+    from pcmseg_tpu.data.synthetic import make_synthetic_dataset
+    from pcmseg_tpu.infer.serve import PredictionServer
+    from pcmseg_tpu.train.checkpoints import save_checkpoint
+    from pcmseg_tpu.train.steps import create_train_state
+    from pcmseg_tpu.models import UNet3D
+
+    enable_compilation_cache()
+    shape = tuple(args.shape)
+    window = tuple(args.window)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        config = get_config(
+            "standard",
+            base_features=args.base_features,
+            compute_dtype="bfloat16",
+            target_size=window,
+            window_size=window,
+            sliding_window=True,
+            window_overlap=0.5,
+            window_blend="gaussian",
+            normalize="percentile",
+            save_dir=os.path.join(tmp, "ckpt"),
+        )
+
+        # weights: fresh init (timing is weight-independent); saved through
+        # the real checkpoint path so the server exercises its real load
+        model = UNet3D.from_config(config)
+        state = create_train_state(
+            config, jax.random.key(0), model, (1, *window, config.n_modalities)
+        )
+        save_checkpoint(
+            config.save_dir, "best", state, meta={"config": config.to_dict()}
+        )
+        del state
+
+        # mixed cohort: N BPH + N PCA full-resolution cases in one inbox
+        inbox = os.path.join(tmp, "inbox")
+        n = args.cases_per_type
+        for data_type in ("BPH", "PCA"):
+            root = os.path.join(tmp, f"data_{data_type}")
+            make_synthetic_dataset(
+                root, n_cases=n, data_type=data_type, shape=shape,
+                seed=42 if data_type == "BPH" else 43,
+            )
+            for i in range(n):
+                stage_case(root, data_type, config.modalities, f"case{i:03d}",
+                           inbox, f"{data_type.lower()}_{i:03d}")
+
+        out_dir = os.path.join(tmp, "out")
+        server = PredictionServer(
+            config, os.path.join(config.save_dir, "best"),
+            input_root=inbox, output_dir=out_dir, min_age=0.0,
+        )
+        try:
+            t0 = time.time()
+            stats = server.run_once()
+            cold_s = time.time() - t0
+            assert stats["done"] == 2 * n and not stats["failed"], stats
+
+            # re-pend every case: output existence is the completion marker
+            for case in os.listdir(out_dir):
+                shutil.rmtree(os.path.join(out_dir, case))
+            t0 = time.time()
+            stats = server.run_once()
+            warm_s = time.time() - t0
+            assert stats["done"] == 4 * n and not stats["failed"], stats
+        finally:
+            server.close()
+
+    vox = shape[0] * shape[1] * shape[2]
+    report = {
+        "config": "BASELINE.json configs[4]: mixed BPH+PCA end-to-end "
+                  "sliding-window predict at full volume resolution",
+        "cases": 2 * n,
+        "shape": list(shape),
+        "window": list(window),
+        "cold_total_s": round(cold_s, 2),
+        "steady_s_per_case": round(warm_s / (2 * n), 3),
+        "steady_mvox_per_s": round(vox * 2 * n / warm_s / 1e6, 2),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(report, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
