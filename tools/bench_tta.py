@@ -7,8 +7,8 @@ offer. A user reaches for ``--tta`` on a *converged* model, so this tool
 re-runs the identical plain-vs-8-way-flip-ensemble comparison on the
 checkpoint produced by the scaled-parity run
 (``tools/convergence_parity_scaled.py --save_ckpt``), over the same
-held-out split (same synthetic dataset: seed 42, first ``--val_cases``
-cases held out).
+held-out split (same synthetic dataset: per-data_type seed default
+matching the parity tool's, first ``--val_cases`` cases held out).
 
 Usage (after a parity run saved its variables):
     python tools/convergence_parity_scaled.py --data_type BPH --size 64 \
@@ -41,7 +41,14 @@ def main():
     ap.add_argument("--features", type=int, default=64)
     ap.add_argument("--cases", type=int, default=8)
     ap.add_argument("--val_cases", type=int, default=2)
+    ap.add_argument("--seed", type=int, default=None,
+                    help="must match the parity run's dataset seed "
+                         "(default: 42 for BPH, 43 for PCA — the same "
+                         "per-data_type defaults as "
+                         "convergence_parity_scaled.py)")
     args = ap.parse_args()
+    if args.seed is None:
+        args.seed = 42 if args.data_type == "BPH" else 43
 
     import flax.serialization
     import jax
@@ -63,7 +70,7 @@ def main():
             n_cases=args.cases,
             data_type=args.data_type,
             shape=(args.size, args.size, args.size),
-            seed=42,
+            seed=args.seed,
         )
         ds = ProstateDataset(
             root,
@@ -107,6 +114,7 @@ def main():
     mt = float(np.mean([r["tta"] for r in rows]))
     report = {
         "data_type": args.data_type,
+        "seed": args.seed,
         "size": args.size,
         "features": args.features,
         "ckpt": args.ckpt,

@@ -51,6 +51,12 @@ def main():
     ap.add_argument("--lr", type=float, default=3e-3)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--data_type", choices=["BPH", "PCA"], default="BPH")
+    ap.add_argument("--seed", type=int, default=None,
+                    help="synthetic-dataset seed; defaults to 42 for BPH "
+                         "and 43 for PCA so the two splits are genuinely "
+                         "different datasets (with one shared seed the "
+                         "generator's content is data_type-independent and "
+                         "the two rows would be the same run twice)")
     ap.add_argument("--use_reference_class", action="store_true",
                     help="torch side = the real reference UNet3D (base 64)")
     ap.add_argument("--save_ckpt", default=None,
@@ -101,12 +107,15 @@ def main():
         sys.path.remove(REFERENCE_ROOT)
 
     with tempfile.TemporaryDirectory() as root:
+        seed = args.seed
+        if seed is None:
+            seed = 42 if args.data_type == "BPH" else 43
         make_synthetic_dataset(
             root,
             n_cases=args.cases,
             data_type=args.data_type,
             shape=(args.size, args.size, args.size),
-            seed=42,
+            seed=seed,
         )
         ds = ProstateDataset(
             root,
@@ -235,6 +244,7 @@ def main():
 
         report = {
             "data_type": args.data_type,
+            "seed": seed,
             "size": args.size,
             "features": args.features,
             "epochs": args.epochs,
