@@ -123,7 +123,12 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--window_blend", choices=["gaussian", "uniform"],
                     default=None)
     pp.add_argument("--tta", action="store_true",
-                    help="8-way flip-ensemble test-time augmentation")
+                    help="8-way flip-ensemble test-time augmentation at 8x "
+                         "serving compute. Measured (BENCH.md): large gains "
+                         "on weak models (held-out mean 0.175 -> 0.365), "
+                         "fractions of a Dice point on converged ones "
+                         "(+0.000-0.002) — use when chasing the last "
+                         "margin, not in routine serving")
     pp.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the prediction "
                          "into DIR")
@@ -159,7 +164,8 @@ def build_parser() -> argparse.ArgumentParser:
                     default=None)
     ps.add_argument("--threshold", type=float, default=None)
     ps.add_argument("--tta", action="store_true",
-                    help="8-way flip-ensemble test-time augmentation")
+                    help="8-way flip-ensemble test-time augmentation (8x "
+                         "compute; see predict --help for when it pays)")
     ps.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the first few "
                          "served cases into DIR")
