@@ -24,6 +24,7 @@ import os
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import ml_dtypes
 import numpy as np
 
@@ -220,6 +221,25 @@ class Predictor:
         sliding-window tiling otherwise (or always when
         config.sliding_window is set).
         """
+        return np.asarray(self._predict_probs_device(image))
+
+    def predict_mask(
+        self, image: np.ndarray, threshold: Optional[float] = None
+    ) -> np.ndarray:
+        """(D,H,W,C) image → (D,H,W) uint8 mask, thresholded ON DEVICE.
+
+        The serving path only ever writes the thresholded mask, so
+        fetching fp32 probabilities wastes 4× the D2H bytes (24 MB vs
+        6 MB per 192×192×160 case) — on a tunneled/remote chip that is
+        a measurable share of steady-state serving (BENCH.md
+        configs[4] attribution). Callers that need calibrated
+        probabilities keep ``predict_probs``.
+        """
+        threshold = self.config.threshold if threshold is None else threshold
+        probs = self._predict_probs_device(image)
+        return np.asarray((probs[..., 0] > threshold).astype(jnp.uint8))
+
+    def _predict_probs_device(self, image: np.ndarray) -> jnp.ndarray:
         # bf16 on the wire — only when the net computes in bf16 (it then
         # casts at its first layer, so rounding here is numerics-identical
         # and halves the H2D transfer); fp32-serving models keep fp32
@@ -282,8 +302,8 @@ class Predictor:
                     tile_batch=self.config.window_tile_batch,
                     mesh=mesh,
                 )
-            return np.asarray(self._sw_fns[key](self._variables, image))
-        return np.asarray(self._predict(image[None]))[0]
+            return self._sw_fns[key](self._variables, image)
+        return self._predict(image[None])[0]
 
     def predict_case(
         self, case_dir: str, handle_missing: Optional[str] = None
@@ -308,6 +328,12 @@ class Predictor:
         """Threshold → uint8 mask → NIfTI/MHA with copied spatial metadata."""
         threshold = self.config.threshold if threshold is None else threshold
         mask = (probs[..., 0] > threshold).astype(np.uint8)
+        return self.save_mask(mask, reference, output_path)
+
+    def save_mask(
+        self, mask: np.ndarray, reference: Volume, output_path: str
+    ) -> str:
+        """(D,H,W) uint8 mask → NIfTI/MHA with copied spatial metadata."""
         out = Volume(mask).copy_information(
             reference if mask.shape == reference.shape else Volume(mask)
         )
@@ -333,5 +359,12 @@ class Predictor:
     def predict_and_save(
         self, case_dir: str, output_path: str, threshold: Optional[float] = None
     ) -> str:
-        probs, reference = self.predict_case(case_dir)
-        return self.save_prediction(probs, reference, output_path, threshold)
+        image, reference = load_multimodal_images(
+            case_dir,
+            modalities=self.config.modalities,
+            handle_missing=self.config.missing_strategy,
+            normalize=self.config.normalize,
+            norm_percentiles=self.config.norm_percentiles,
+        )
+        mask = self.predict_mask(image, threshold)
+        return self.save_mask(mask, reference, output_path)

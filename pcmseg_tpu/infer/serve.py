@@ -180,9 +180,11 @@ class PredictionServer:
             else:
                 image, reference = self._load(case_id)
             with annotate(f"case:{case_id}"):
-                probs = self.predictor.predict_probs(image)
-                out = self.predictor.save_prediction(
-                    probs, reference, self._output_path(case_id)
+                # threshold on device: the serve loop only writes masks,
+                # so fetch 6 MB uint8 instead of 24 MB fp32 probabilities
+                mask = self.predictor.predict_mask(image)
+                out = self.predictor.save_mask(
+                    mask, reference, self._output_path(case_id)
                 )
         except Exception as e:  # one bad case must not kill the server
             first_failure = case_id not in self._attempts

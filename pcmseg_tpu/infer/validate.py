@@ -253,8 +253,8 @@ class Validator:
                     )
                 )
             image = np.stack(channels, axis=-1).astype(np.float32)
-            probs = predictor.predict_probs(image)
-            mask = (probs[..., :1] > cfg.threshold).astype(np.float32)
+            # device-side threshold (uint8 D2H is 4x smaller than probs)
+            mask = predictor.predict_mask(image)[..., None].astype(np.float32)
             case_results.append(
                 {
                     "case_id": rec.case_id,

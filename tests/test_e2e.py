@@ -131,6 +131,32 @@ def test_predictor_case_dir_and_nifti_output(trained, data_root, tmp_path):
     np.testing.assert_allclose(pred.origin, src_vol.origin, rtol=1e-5)
 
 
+def test_predict_mask_matches_host_thresholded_probs(trained, data_root, tmp_path):
+    """Device-side thresholding (predict_mask, the 4x-smaller D2H serving
+    path) must agree voxel-for-voxel with host-thresholded predict_probs."""
+    from pcmseg_tpu.infer.predict import Predictor, load_multimodal_images
+
+    config, save_dir, _ = trained
+    case_dir = str(tmp_path / "case_mask")
+    import shutil
+
+    for m in config.modalities:
+        os.makedirs(os.path.join(case_dir, m))
+        shutil.copy(
+            os.path.join(data_root, "BPH-PCA", "BPH", m, "case000.nii.gz"),
+            os.path.join(case_dir, m, "img.nii.gz"),
+        )
+    predictor = Predictor(config, os.path.join(save_dir, "best"))
+    image, _ = load_multimodal_images(case_dir, config.modalities)
+    probs = predictor.predict_probs(image)
+    host_mask = (
+        np.asarray(probs, np.float32)[..., 0] > config.threshold
+    ).astype(np.uint8)
+    dev_mask = predictor.predict_mask(image)
+    assert dev_mask.dtype == np.uint8 and dev_mask.shape == image.shape[:3]
+    np.testing.assert_array_equal(dev_mask, host_mask)
+
+
 def test_predictor_missing_modality_strategies(trained, data_root, tmp_path):
     from pcmseg_tpu.infer.predict import load_multimodal_images
 
