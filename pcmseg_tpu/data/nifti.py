@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import gzip
 import struct
+import zlib
 from typing import BinaryIO, Tuple, Union
 
 import numpy as np
@@ -48,8 +49,38 @@ _CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
 
 def _open_maybe_gz(path: str, mode: str) -> BinaryIO:
     if str(path).endswith(".gz"):
+        if "w" in mode:
+            # level 1: masks/synthetic volumes compress to within ~15% of
+            # level 9 at a fraction of the CPU — gz writes sat on the
+            # serving loop's critical path at the default level 9
+            return gzip.open(path, mode, compresslevel=1)
         return gzip.open(path, mode)
     return open(path, mode)
+
+
+def _read_file_bytes(path: str) -> bytes:
+    """Whole-file read with one-shot gzip inflation.
+
+    gzip.GzipFile.read() inflates through a chunked-copy streaming path;
+    a single zlib.decompressobj pass over the mmapped-in bytes is
+    measurably faster on the multi-MB volumes the serving loop decodes
+    (zlib was the largest host-decode share — BENCH.md configs[4]).
+    Handles multi-member gzip (bgzip-style) by iterating members.
+    """
+    with open(path, "rb") as f:
+        comp = f.read()
+    if not (str(path).endswith(".gz") and comp[:2] == b"\x1f\x8b"):
+        return comp
+    parts = []
+    while comp:
+        obj = zlib.decompressobj(wbits=31)
+        parts.append(obj.decompress(comp))
+        if not obj.eof:  # truncated stream — surface like gzip would
+            raise EOFError(f"truncated gzip stream in {path!r}")
+        comp = obj.unused_data
+        if comp[:2] != b"\x1f\x8b":  # trailing pad bytes, not a member
+            break
+    return parts[0] if len(parts) == 1 else b"".join(parts)
 
 
 def _quaternion_to_direction(b, c, d, qfac) -> np.ndarray:
@@ -142,8 +173,7 @@ def read_nifti(path: str) -> Volume:
     4D inputs keep the first timepoint/channel, as the reference did
     (script/data_loader.py:213-218).
     """
-    with _open_maybe_gz(path, "rb") as f:
-        raw = f.read()
+    raw = _read_file_bytes(path)
     hdr = NiftiHeader(raw[:HEADER_SIZE])
     shape_xyz = [max(int(s), 1) for s in hdr.dim[1 : 1 + max(hdr.ndim, 3)]]
     n_vox = int(np.prod(shape_xyz))

@@ -150,6 +150,17 @@ def normalize_intensity(
       * 'zscore': zero-mean unit-variance.
       * 'none': passthrough (what the reference training path did).
     """
+    if mode in ("percentile", "minmax"):
+        # native fused path: percentiles + clip + scale in one C++ pass
+        # (numpy spends ~4 full-buffer passes here; see native/normalize.cpp)
+        from pcmseg_tpu.data.native import native_normalize_into
+
+        src = np.asarray(data)
+        p_lo, p_hi = percentiles if mode == "percentile" else (0.0, 100.0)
+        out = np.empty(src.shape, dtype=np.float32)
+        if native_normalize_into(src, p_lo, p_hi, out):
+            return out
+
     data = np.asarray(data, dtype=np.float32)
     if mode == "none":
         return data

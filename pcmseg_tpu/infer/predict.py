@@ -52,11 +52,19 @@ def load_multimodal_images(
     handle_missing: str = "zero_fill",
     normalize: str = "percentile",
     norm_percentiles: Tuple[float, float] = (1.0, 99.0),
+    out_dtype=np.float32,
 ) -> Tuple[np.ndarray, Volume]:
     """Load a case dir with per-modality subdirs → ((D,H,W,C), reference Volume).
 
     The first successfully loaded modality becomes the spatial reference;
     all modalities are resampled onto its grid shape if they differ.
+
+    ``out_dtype`` is the stack's dtype: the Predictor passes bfloat16 when
+    the network computes in bf16 so each modality is normalized AND cast
+    AND stacked in one fused native pass (native/normalize.cpp) — the
+    numpy chain here was ~0.9 s/case of the serving host decode
+    (BENCH.md configs[4] attribution). float32 (the default, and the
+    public-API contract) behaves identically, one cast earlier.
     """
     volumes: Dict[str, Optional[Volume]] = {}
     reference: Optional[Volume] = None
@@ -72,12 +80,15 @@ def load_multimodal_images(
             f"(expected subdirs {list(modalities)})"
         )
 
-    channels = []
-    for m in modalities:
+    from pcmseg_tpu.data.native import native_normalize_into
+
+    n_ch = len(modalities)
+    out = np.empty((*reference.shape, n_ch), dtype=out_dtype)
+    for i, m in enumerate(modalities):
         vol = volumes[m]
         if vol is None:
             if handle_missing == "zero_fill":
-                channels.append(np.zeros(reference.shape, dtype=np.float32))
+                out[..., i] = 0
                 continue
             if handle_missing == "duplicate":
                 vol = reference
@@ -89,10 +100,17 @@ def load_multimodal_images(
         data = vol.data
         if data.shape != reference.shape:
             data = resample_array(data, reference.shape, mode="linear")
-        channels.append(
-            normalize_intensity(data, normalize, norm_percentiles)
-        )
-    return np.stack(channels, axis=-1).astype(np.float32), reference
+        fused = False
+        if normalize in ("percentile", "minmax"):
+            p_lo, p_hi = (
+                norm_percentiles if normalize == "percentile" else (0.0, 100.0)
+            )
+            fused = native_normalize_into(
+                data, p_lo, p_hi, out, offset=i, stride=n_ch
+            )
+        if not fused:  # zscore/none modes, exotic dtypes, or no native lib
+            out[..., i] = normalize_intensity(data, normalize, norm_percentiles)
+    return out, reference
 
 
 class Predictor:
@@ -305,6 +323,17 @@ class Predictor:
             return self._sw_fns[key](self._variables, image)
         return self._predict(image[None])[0]
 
+    @property
+    def wire_dtype(self):
+        """Host-side stack dtype: bf16 when the net computes in bf16 (the
+        first layer casts anyway, so normalizing straight to bf16 is
+        numerics-identical and halves host RAM + H2D bytes)."""
+        return (
+            ml_dtypes.bfloat16
+            if self.config.compute_dtype == "bfloat16"
+            else np.float32
+        )
+
     def predict_case(
         self, case_dir: str, handle_missing: Optional[str] = None
     ) -> Tuple[np.ndarray, Volume]:
@@ -315,6 +344,7 @@ class Predictor:
             handle_missing=handle_missing or self.config.missing_strategy,
             normalize=self.config.normalize,
             norm_percentiles=self.config.norm_percentiles,
+            out_dtype=self.wire_dtype,
         )
         return self.predict_probs(image), reference
 
@@ -365,6 +395,7 @@ class Predictor:
             handle_missing=self.config.missing_strategy,
             normalize=self.config.normalize,
             norm_percentiles=self.config.norm_percentiles,
+            out_dtype=self.wire_dtype,
         )
         mask = self.predict_mask(image, threshold)
         return self.save_mask(mask, reference, output_path)

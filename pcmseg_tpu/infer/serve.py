@@ -165,6 +165,7 @@ class PredictionServer:
             handle_missing=cfg.missing_strategy,
             normalize=cfg.normalize,
             norm_percentiles=cfg.norm_percentiles,
+            out_dtype=self.predictor.wire_dtype,
         )
 
     def process_case(self, case_id: str, preloaded=None) -> Optional[str]:

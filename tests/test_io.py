@@ -153,3 +153,28 @@ def test_volume_affine_roundtrip(rng):
     np.testing.assert_allclose(b.spacing, a.spacing, rtol=1e-6)
     np.testing.assert_allclose(b.origin, a.origin, rtol=1e-6)
     np.testing.assert_allclose(b.direction, a.direction, atol=1e-6)
+
+
+def test_nifti_multimember_gzip(tmp_path, rng):
+    """bgzip-style files are several concatenated gzip members; the
+    one-shot zlib reader must stitch them (nifti._read_file_bytes)."""
+    vol = make_vol(rng)
+    p = str(tmp_path / "case.nii.gz")
+    write_nifti(vol, p)
+    raw = gzip.decompress(open(p, "rb").read())
+    half = len(raw) // 2
+    with open(p, "wb") as f:
+        f.write(gzip.compress(raw[:half]) + gzip.compress(raw[half:]))
+    back = read_nifti(p)
+    np.testing.assert_array_equal(back.data, vol.data)
+
+
+def test_nifti_truncated_gzip_raises(tmp_path, rng):
+    vol = make_vol(rng)
+    p = str(tmp_path / "case.nii.gz")
+    write_nifti(vol, p)
+    blob = open(p, "rb").read()
+    with open(p, "wb") as f:
+        f.write(blob[: len(blob) // 2])
+    with pytest.raises(Exception):
+        read_nifti(p)
