@@ -53,6 +53,7 @@ def load_multimodal_images(
     normalize: str = "percentile",
     norm_percentiles: Tuple[float, float] = (1.0, 99.0),
     out_dtype=np.float32,
+    decode_threads: Optional[int] = None,
 ) -> Tuple[np.ndarray, Volume]:
     """Load a case dir with per-modality subdirs → ((D,H,W,C), reference Volume).
 
@@ -65,15 +66,33 @@ def load_multimodal_images(
     numpy chain here was ~0.9 s/case of the serving host decode
     (BENCH.md configs[4] attribution). float32 (the default, and the
     public-API contract) behaves identically, one cast earlier.
+
+    ``decode_threads`` (default: one per modality, capped at the host's
+    cores) parallelizes the per-modality read+normalize work — zlib
+    inflation, the native resampler and the fused normalize all release
+    the GIL, so a multi-core serving host decodes the 5 modalities
+    concurrently; results are deterministic regardless of thread count
+    (each modality owns disjoint strided slots of the output stack).
     """
-    volumes: Dict[str, Optional[Volume]] = {}
-    reference: Optional[Volume] = None
-    for m in modalities:
+    if decode_threads is None:
+        decode_threads = max(1, min(len(modalities), os.cpu_count() or 1))
+
+    def _read(m: str) -> Optional[Volume]:
         path = _find_volume_file(os.path.join(case_dir, m))
-        vol = read_volume(path) if path else None
-        volumes[m] = vol
-        if vol is not None and reference is None:
-            reference = vol
+        return read_volume(path) if path else None
+
+    if decode_threads > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=decode_threads) as pool:
+            volumes: Dict[str, Optional[Volume]] = dict(
+                zip(modalities, pool.map(_read, modalities))
+            )
+    else:
+        volumes = {m: _read(m) for m in modalities}
+    reference: Optional[Volume] = next(
+        (volumes[m] for m in modalities if volumes[m] is not None), None
+    )
     if reference is None:
         raise FileNotFoundError(
             f"no modality volumes found under {case_dir!r} "
@@ -84,12 +103,13 @@ def load_multimodal_images(
 
     n_ch = len(modalities)
     out = np.empty((*reference.shape, n_ch), dtype=out_dtype)
-    for i, m in enumerate(modalities):
+
+    def _fill(i: int, m: str) -> None:
         vol = volumes[m]
         if vol is None:
             if handle_missing == "zero_fill":
                 out[..., i] = 0
-                continue
+                return
             if handle_missing == "duplicate":
                 vol = reference
             else:
@@ -110,6 +130,15 @@ def load_multimodal_images(
             )
         if not fused:  # zscore/none modes, exotic dtypes, or no native lib
             out[..., i] = normalize_intensity(data, normalize, norm_percentiles)
+
+    if decode_threads > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=decode_threads) as pool:
+            list(pool.map(lambda im: _fill(*im), enumerate(modalities)))
+    else:
+        for i, m in enumerate(modalities):
+            _fill(i, m)
     return out, reference
 
 

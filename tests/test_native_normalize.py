@@ -129,3 +129,27 @@ def test_load_multimodal_images_bf16_matches_f32(tmp_path):
     bf16, _ = load_multimodal_images(case_dir, out_dtype=ml_dtypes.bfloat16)
     assert f32.dtype == np.float32 and bf16.dtype == ml_dtypes.bfloat16
     assert (np.asarray(bf16) == f32.astype(ml_dtypes.bfloat16)).all()
+
+
+def test_load_multimodal_images_threaded_deterministic(tmp_path):
+    """decode_threads must not change the result (disjoint strided slots)."""
+    import os
+
+    from pcmseg_tpu.core.config import DEFAULT_MODALITIES
+    from pcmseg_tpu.data.synthetic import make_synthetic_dataset
+    from pcmseg_tpu.infer.predict import load_multimodal_images
+
+    root = str(tmp_path)
+    make_synthetic_dataset(root, n_cases=1, shape=(10, 11, 12), seed=1)
+    case_dir = os.path.join(root, "staged")
+    for m in DEFAULT_MODALITIES[:-1]:  # one modality missing -> zero_fill
+        os.makedirs(os.path.join(case_dir, m))
+        os.link(
+            os.path.join(root, "BPH-PCA", "BPH", m, "case000.nii.gz"),
+            os.path.join(case_dir, m, "image.nii.gz"),
+        )
+    os.makedirs(os.path.join(case_dir, DEFAULT_MODALITIES[-1]))
+    seq, _ = load_multimodal_images(case_dir, decode_threads=1)
+    par, _ = load_multimodal_images(case_dir, decode_threads=5)
+    np.testing.assert_array_equal(seq, par)
+    assert (seq[..., -1] == 0).all()
