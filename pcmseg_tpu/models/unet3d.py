@@ -89,7 +89,7 @@ class Im2colConv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from pcmseg_tpu.ops.im2col import conv3x3_im2col
+        from pcmseg_tpu.ops.im2col import conv3x3_matmul
 
         ci = x.shape[-1]
         kernel = self.param(
@@ -99,7 +99,7 @@ class Im2colConv3x3(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.features,), self.param_dtype
         )
-        y = conv3x3_im2col(x.astype(self.dtype), kernel.astype(self.dtype))
+        y = conv3x3_matmul(x.astype(self.dtype), kernel.astype(self.dtype))
         return y + bias.astype(self.dtype)
 
 

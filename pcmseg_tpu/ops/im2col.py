@@ -83,6 +83,146 @@ def _bwd(res, dy):
 conv3x3_im2col.defvjp(_fwd, _bwd)
 
 
+# ---------------------------------------------------------------------------
+# Depth-chunked variant: the same matmul lowering with the col buffer
+# materialized one depth slab at a time (1-voxel depth halo, so every
+# output voxel still sees its full 3³ window) — chunk/D of the monolithic
+# transient. Outputs are bitwise-equal to the monolithic lowering (same
+# per-voxel dot), hence to lax conv in bf16.
+#
+# Measured verdict (BENCH.md round-3 addendum, tools/bench_conv_chunked.py
+# + tools/ab_train_step.py --variants auto,i2cwide):
+#   * As a lowering for the WIDE 128³ convs (64→64 / 128→64, monolithic
+#     col buffers 7-15 GB): RETIRED. The chunked forward beats lax 1.3×
+#     isolated, but the backward's 27× patch recompute gives it all back
+#     (fwd+bwd 60-69 ms vs lax's 47.3 at 128³×64→64), and the in-model
+#     arm fails the remote AOT compile outright.
+#   * As the PRODUCTION fallback behind `conv3x3_matmul` for the thin
+#     (cin ≤ 8) convs at crops beyond 128, where the monolithic col
+#     buffer crosses ~1 GB: kept. This is what makes the measured
+#     `cin <= 8` auto-rule win (BENCH.md, +4.6% step) safe at any
+#     crop_size instead of tying it to 128³.
+# ---------------------------------------------------------------------------
+
+
+def _im2col_hw(slab: jnp.ndarray) -> jnp.ndarray:
+    """Depth-haloed slab (N,S+2,H,W,C) → (N,S,H,W,27C) patches.
+
+    The slab already carries the ±1 depth halo; only H/W get SAME padding
+    here. Offset order (depth-major a,b,c) matches `_im2col` and the
+    kernel reshape (3,3,3,Ci,Co) → (27·Ci, Co).
+    """
+    n, sp2, h, w, c = slab.shape
+    s = sp2 - 2
+    xp = jnp.pad(slab, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+    slabs = [
+        xp[:, a : a + s, b : b + h, c_ : c_ + w, :]
+        for a in range(3)
+        for b in range(3)
+        for c_ in range(3)
+    ]
+    return jnp.concatenate(slabs, axis=-1)
+
+
+def _fold_hw(cols: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Adjoint of `_im2col_hw`: (N,S,H,W,27C) → depth-haloed (N,S+2,H,W,C)."""
+    n, s, h, w, _ = cols.shape
+    xp = jnp.zeros((n, s + 2, h + 2, w + 2, c), cols.dtype)
+    i = 0
+    for a in range(3):
+        for b in range(3):
+            for c_ in range(3):
+                xp = xp.at[:, a : a + s, b : b + h, c_ : c_ + w, :].add(
+                    cols[..., i * c : (i + 1) * c]
+                )
+                i += 1
+    return xp[:, :, 1:-1, 1:-1, :]
+
+
+def _chunk_starts(d: int, chunk: int):
+    return list(range(0, d, chunk))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3x3_im2col_chunked(
+    x: jnp.ndarray, w: jnp.ndarray, chunk: int = 16
+) -> jnp.ndarray:
+    """SAME pad-1 3³ conv as per-depth-slab im2col matmuls.
+
+    Same math (and bf16 bytes) as `conv3x3_im2col`, but the col buffer is
+    materialized one depth slab at a time — chunk/D of the monolithic
+    transient, which is what makes the matmul form affordable at
+    128³ with 64-128 input channels.
+    """
+    ci, co = w.shape[3], w.shape[4]
+    k = w.reshape(27 * ci, co)
+    d = x.shape[1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    outs = []
+    for c0 in _chunk_starts(d, chunk):
+        s = min(chunk, d - c0)
+        slab = jax.lax.slice_in_dim(xp, c0, c0 + s + 2, axis=1)
+        outs.append(jnp.dot(_im2col_hw(slab), k))
+    return jnp.concatenate(outs, axis=1)
+
+
+def _chunked_fwd(x, w, chunk):
+    return conv3x3_im2col_chunked(x, w, chunk), (x, w)
+
+
+def _chunked_bwd(chunk, res, dy):
+    x, w = res
+    n, d, h, wd, ci = x.shape
+    co = w.shape[4]
+    # dW: Σ_slabs Pᵀ dy  (per-slab bf16 matmul, fp32 accumulation across
+    # slabs so the chunked sum doesn't lose the monolithic dot's MXU-fp32
+    # accumulator precision). This is the half of XLA's conv backward
+    # that's pathological at wide 128³ shapes (its isolated compile
+    # allocates a 32 GB layout copy; BENCH.md round-2 dW table).
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    dw = jnp.zeros((27 * ci, co), jnp.float32)
+    for c0 in _chunk_starts(d, chunk):
+        s = min(chunk, d - c0)
+        slab = jax.lax.slice_in_dim(xp, c0, c0 + s + 2, axis=1)
+        patches = _im2col_hw(slab)  # recomputed, transient
+        dy_c = jax.lax.slice_in_dim(dy, c0, c0 + s, axis=1)
+        dw = dw + jnp.dot(
+            patches.reshape(-1, 27 * ci).T, dy_c.reshape(-1, co)
+        ).astype(jnp.float32)
+    # dx: XLA's input-gradient conv is NOT the pathology (5.5 ms isolated
+    # at 128³×64→64, BENCH.md) — a SAME conv of dy with the spatially
+    # flipped, IO-transposed kernel beats the fold-based col2im (which
+    # measured 27×-scatter bandwidth-bound: 59 vs 47 ms fwd+bwd total).
+    w_flip = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    dx = jax.lax.conv_general_dilated(
+        dy, w_flip.astype(dy.dtype), (1, 1, 1),
+        ((1, 1), (1, 1), (1, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    return dx, dw.astype(dy.dtype).reshape(w.shape)
+
+
+conv3x3_im2col_chunked.defvjp(_chunked_fwd, _chunked_bwd)
+
+
+# Largest transient col buffer the monolithic lowering may materialize
+# before the dispatcher switches to depth-chunked slabs. 1 GB keeps the
+# 128³ cin≤8 inc conv (0.57 GB) and every bottleneck conv monolithic
+# (matching the round-2/3 measured configuration exactly) and chunks only
+# the wide large-spatial convs whose monolithic buffers are 7-15 GB.
+MONO_COL_BUDGET_BYTES = 1 << 30
+CHUNK_DEPTH = 16
+
+
+def conv3x3_matmul(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """im2col matmul conv, monolithic or depth-chunked by col-buffer size."""
+    voxels = x.shape[0] * x.shape[1] * x.shape[2] * x.shape[3]
+    col_bytes = voxels * 27 * x.shape[-1] * x.dtype.itemsize
+    if col_bytes <= MONO_COL_BUDGET_BYTES or x.shape[1] <= CHUNK_DEPTH:
+        return conv3x3_im2col(x, w)
+    return conv3x3_im2col_chunked(x, w, CHUNK_DEPTH)
+
+
 def should_use_im2col(spatial: tuple, cin: int, cout: int) -> bool:
     """Measured decision rule for the training path (BENCH.md).
 

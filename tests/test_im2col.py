@@ -140,6 +140,59 @@ def test_model_outputs_match_across_lowerings():
     )
 
 
+@pytest.mark.parametrize(
+    "shape,chunk",
+    [((1, 8, 6, 6, 4), 4), ((2, 9, 5, 7, 3), 4), ((1, 6, 6, 6, 4), 16)],
+)
+def test_chunked_forward_matches_lax(shape, chunk):
+    """Depth-chunked im2col — incl. uneven tail slab and chunk > D."""
+    from pcmseg_tpu.ops.im2col import conv3x3_im2col_chunked
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, shape[-1], 5)), jnp.float32)
+    np.testing.assert_allclose(
+        conv3x3_im2col_chunked(x, w, chunk), _lax_conv(x, w),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_chunked_custom_vjp_matches_lax_grads():
+    from pcmseg_tpu.ops.im2col import conv3x3_im2col_chunked
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(1, 9, 5, 5, 4)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 4, 6)) * 0.1, jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(1, 9, 5, 5, 6)), jnp.float32)
+
+    def loss_ours(x, w):
+        return jnp.vdot(conv3x3_im2col_chunked(x, w, 4), cot)
+
+    def loss_lax(x, w):
+        return jnp.vdot(_lax_conv(x, w), cot)
+
+    gx_a, gw_a = jax.grad(loss_ours, argnums=(0, 1))(x, w)
+    gx_b, gw_b = jax.grad(loss_lax, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(gx_a, gx_b, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(gw_a, gw_b, rtol=1e-4, atol=1e-4)
+
+
+def test_matmul_dispatcher_switches_to_chunked(monkeypatch):
+    """conv3x3_matmul: identical numerics on both sides of the col-buffer
+    budget (the dispatcher only changes the transient memory shape)."""
+    from pcmseg_tpu.ops import im2col as i2c
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(1, 8, 6, 6, 4)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 4, 5)), jnp.float32)
+    y_mono = i2c.conv3x3_matmul(x, w)
+    monkeypatch.setattr(i2c, "MONO_COL_BUDGET_BYTES", 0)
+    monkeypatch.setattr(i2c, "CHUNK_DEPTH", 4)
+    y_chunk = i2c.conv3x3_matmul(x, w)
+    np.testing.assert_allclose(y_mono, y_chunk, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(y_mono, _lax_conv(x, w), rtol=1e-5, atol=1e-5)
+
+
 def test_auto_lowering_only_on_training_path():
     """auto: inference traces must not contain the im2col concat blowup."""
     from pcmseg_tpu.models.unet3d import DoubleConv3D

@@ -48,6 +48,17 @@ def run_variant(lowering, size, batch, steps, accum, remat):
             i2c._orig_should_use_im2col(spatial, cin, cout) or cin <= 8
         )
         lowering = "auto"
+    if lowering == "i2cwide":
+        # candidate arm (round 3): auto + depth-chunked im2col at the wide
+        # 128^3 convs (64->64, 128->64) — lax runs them at 15% MFU
+        # (BENCH.md per-conv table); the chunked matmul form was previously
+        # blocked by the 7-15 GB monolithic col buffer
+        # (ops/im2col.py::conv3x3_im2col_chunked, tools/bench_conv_chunked.py)
+        i2c.should_use_im2col = lambda spatial, cin, cout: (
+            i2c._orig_should_use_im2col(spatial, cin, cout)
+            or max(spatial) >= 128
+        )
+        lowering = "auto"
     if lowering.startswith("selp"):
         # 'selp<N>': auto + hybrid with the PALLAS dW kernel at
         # 8 < spatial <= N (keeps the 128^3 Pallas kernels, which the
