@@ -86,6 +86,7 @@ class Im2colConv3x3(nn.Module):
     features: int
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    chunk: Any = None  # depth-slab override for the chunked fallback
 
     @nn.compact
     def __call__(self, x):
@@ -99,7 +100,9 @@ class Im2colConv3x3(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.features,), self.param_dtype
         )
-        y = conv3x3_matmul(x.astype(self.dtype), kernel.astype(self.dtype))
+        y = conv3x3_matmul(
+            x.astype(self.dtype), kernel.astype(self.dtype), self.chunk
+        )
         return y + bias.astype(self.dtype)
 
 
@@ -148,7 +151,11 @@ class DoubleConv3D(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         from pcmseg_tpu.ops.hybrid_conv import should_use_hybrid
-        from pcmseg_tpu.ops.im2col import should_use_im2col
+        from pcmseg_tpu.ops.im2col import (
+            SERVE_CHUNK_DEPTH,
+            should_use_im2col,
+            should_use_im2col_serving,
+        )
 
         for i in range(2):
             # Pallas fused conv+bias+ReLU on the folded (norm-free) serving
@@ -168,12 +175,13 @@ class DoubleConv3D(nn.Module):
                     name=f"conv{i}",
                 )(x)
                 continue
-            # training-path lowering choice (static shapes → traced once):
-            # im2col matmul where its measured fwd+bwd beats XLA's conv
+            # lowering choice (static shapes → traced once): im2col matmul
+            # where the measured rule for this direction says it wins —
+            # fwd+bwd rule for training, fwd-only rule for inference
+            rule = should_use_im2col if train else should_use_im2col_serving
             use_i2c = self.conv_lowering == "im2col" or (
                 self.conv_lowering == "auto"
-                and train
-                and should_use_im2col(x.shape[1:4], x.shape[-1], self.features)
+                and rule(x.shape[1:4], x.shape[-1], self.features)
             )
             # hybrid custom-VJP conv (XLA fwd, swapped dW backward):
             # explicit opt-in ('hybrid' / 'hybrid_pallas') or the measured
@@ -210,6 +218,7 @@ class DoubleConv3D(nn.Module):
                     self.features,
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
+                    chunk=None if train else SERVE_CHUNK_DEPTH,
                     name=f"conv{i}",
                 )(x)
             else:

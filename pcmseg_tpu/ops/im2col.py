@@ -212,15 +212,23 @@ conv3x3_im2col_chunked.defvjp(_chunked_fwd, _chunked_bwd)
 # the wide large-spatial convs whose monolithic buffers are 7-15 GB.
 MONO_COL_BUDGET_BYTES = 1 << 30
 CHUNK_DEPTH = 16
+# Forward-only (serving) slab: the chunked *forward* is fastest at slab 8
+# (4.8 ms vs 6.1 at slab 16, 128³×64→64 — BENCH.md round-3 addendum 2);
+# training keeps slab 16, where the dW recompute amortizes better.
+SERVE_CHUNK_DEPTH = 8
 
 
-def conv3x3_matmul(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+def conv3x3_matmul(
+    x: jnp.ndarray, w: jnp.ndarray, chunk: int | None = None
+) -> jnp.ndarray:
     """im2col matmul conv, monolithic or depth-chunked by col-buffer size."""
+    if chunk is None:
+        chunk = CHUNK_DEPTH
     voxels = x.shape[0] * x.shape[1] * x.shape[2] * x.shape[3]
     col_bytes = voxels * 27 * x.shape[-1] * x.dtype.itemsize
-    if col_bytes <= MONO_COL_BUDGET_BYTES or x.shape[1] <= CHUNK_DEPTH:
+    if col_bytes <= MONO_COL_BUDGET_BYTES or x.shape[1] <= chunk:
         return conv3x3_im2col(x, w)
-    return conv3x3_im2col_chunked(x, w, CHUNK_DEPTH)
+    return conv3x3_im2col_chunked(x, w, chunk)
 
 
 def should_use_im2col(spatial: tuple, cin: int, cout: int) -> bool:
@@ -241,3 +249,20 @@ def should_use_im2col(spatial: tuple, cin: int, cout: int) -> bool:
     So: bottleneck convs + thin-input (cin ≤ 8) convs only.
     """
     return (max(spatial) <= 8 and min(cin, cout) >= 64) or cin <= 8
+
+
+def should_use_im2col_serving(spatial: tuple, cin: int, cout: int) -> bool:
+    """Decision rule for the inference/serving forward (no backward).
+
+    The training rule above is gated on fwd+bwd measurements; serving has
+    no backward, which changes the candidates — the depth-chunked matmul
+    *forward* beats lax 1.3× isolated at the wide 128³ convs where its
+    backward disqualified it for training (BENCH.md round-3 addendum 2),
+    and the thin/bottleneck convs win isolated in both directions.
+
+    Current rule: OFF everywhere — the in-graph serving A/B
+    (tools/ab_serve_forward.py) is the deciding measurement, and isolated
+    wins have inverted end-to-end in every prior sweep (BENCH.md). Flip
+    per-shape arms here only with an A/B row behind them.
+    """
+    return False

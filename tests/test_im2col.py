@@ -205,3 +205,35 @@ def test_auto_lowering_only_on_training_path():
     y_train = m.apply(v, x, train=True)
     y_eval = m.apply(v, x, train=False)
     np.testing.assert_allclose(y_train, y_eval, rtol=1e-4, atol=1e-5)
+
+
+def test_serving_rule_gates_eval_path(monkeypatch):
+    """The eval path is gated by should_use_im2col_serving, separately from
+    the training rule — and a flipped serving arm must be semantics-free
+    (identical params, matching outputs vs the lax path), including when
+    the depth-chunked fallback kicks in."""
+    from pcmseg_tpu.models.unet3d import DoubleConv3D
+    from pcmseg_tpu.ops import im2col as i2c
+
+    # production default: serving keeps XLA's conv everywhere until an
+    # in-graph A/B (tools/ab_serve_forward.py) proves an arm
+    assert not i2c.should_use_im2col_serving((128, 128, 128), 64, 64)
+    assert not i2c.should_use_im2col_serving((128, 128, 128), 5, 64)
+
+    m = DoubleConv3D(features=6, norm_layer="none", dtype=jnp.float32,
+                     param_dtype=jnp.float32, conv_lowering="auto")
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(1, 12, 6, 6, 4)), jnp.float32)
+    v = m.init(jax.random.key(0), x, train=False)
+    y_lax = m.apply(v, x, train=False)
+
+    monkeypatch.setattr(
+        i2c, "should_use_im2col_serving", lambda sp, ci, co: True
+    )
+    y_i2c = m.apply(v, x, train=False)
+    np.testing.assert_allclose(y_lax, y_i2c, rtol=1e-5, atol=1e-5)
+
+    # force the chunked fallback (D=12 > serve slab 8, zero mono budget)
+    monkeypatch.setattr(i2c, "MONO_COL_BUDGET_BYTES", 0)
+    y_chunked = m.apply(v, x, train=False)
+    np.testing.assert_allclose(y_lax, y_chunked, rtol=1e-5, atol=1e-5)
