@@ -252,17 +252,18 @@ def should_use_im2col(spatial: tuple, cin: int, cout: int) -> bool:
 
 
 def should_use_im2col_serving(spatial: tuple, cin: int, cout: int) -> bool:
-    """Decision rule for the inference/serving forward (no backward).
+    """Measured decision rule for the inference/serving forward: lax
+    everywhere.
 
-    The training rule above is gated on fwd+bwd measurements; serving has
-    no backward, which changes the candidates — the depth-chunked matmul
-    *forward* beats lax 1.3× isolated at the wide 128³ convs where its
-    backward disqualified it for training (BENCH.md round-3 addendum 2),
-    and the thin/bottleneck convs win isolated in both directions.
-
-    Current rule: OFF everywhere — the in-graph serving A/B
-    (tools/ab_serve_forward.py) is the deciding measurement, and isolated
-    wins have inverted end-to-end in every prior sweep (BENCH.md). Flip
-    per-shape arms here only with an A/B row behind them.
+    Serving has no backward, so the training rule above doesn't transfer —
+    the candidates were re-measured in the real folded-BN serving graph at
+    128³/base-64 (tools/ab_serve_forward.py; BENCH.md "Serving-forward
+    lowering A/B"). Every im2col arm LOSES in-graph despite winning
+    isolated (the established inversion pattern): production lax 61.8
+    ms/vol vs thin-conv arm 70.8, bottleneck arm 62.1, training-rule arms
+    69.4, chunked wide-conv arm 159.6, all-arms 145.7. XLA fuses the
+    serving forward aggressively and every matmul-form materialization
+    boundary costs more than the conv it replaces. Flip an arm here only
+    with a new A/B row behind it.
     """
     return False
