@@ -111,7 +111,11 @@ def build_parser() -> argparse.ArgumentParser:
     # predict
     pp = sub.add_parser("predict", help="segment a case directory")
     _add_common_flags(pp)
-    pp.add_argument("--model_path", required=True)
+    pp.add_argument("--model_path", required=True,
+                    help="checkpoint to serve; several (comma-separated or "
+                         "a glob like 'run/best_fold_*') serve a "
+                         "cross-validation fold ensemble — probabilities "
+                         "are averaged in one vmapped program")
     pp.add_argument("--input_dir", required=True,
                     help="case dir with one subdir per modality")
     pp.add_argument("--output_dir", default="predictions")
@@ -139,7 +143,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="long-running predictor: segment cases as they appear",
     )
     _add_common_flags(ps)
-    ps.add_argument("--model_path", required=True)
+    ps.add_argument("--model_path", required=True,
+                    help="checkpoint to serve; several (comma-separated or "
+                         "a glob like 'run/best_fold_*') serve a "
+                         "cross-validation fold ensemble")
     ps.add_argument("--input_root", required=True,
                     help="root dir; each subdir is one case (per-modality "
                          "subdirs inside)")

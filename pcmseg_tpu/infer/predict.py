@@ -142,21 +142,62 @@ def load_multimodal_images(
     return out, reference
 
 
+def expand_model_paths(checkpoint_path) -> list:
+    """One checkpoint spec → ordered list of checkpoint paths.
+
+    Accepts a single path, a comma-separated list, a glob pattern (e.g.
+    ``run/best_fold_*`` — Orbax checkpoints are directories, so globs
+    match directories too), or a list of any of these. More than one
+    path means fold-ensemble serving (see Predictor).
+    """
+    import glob as _glob
+
+    if isinstance(checkpoint_path, str):
+        specs = [p for p in checkpoint_path.split(",") if p]
+    else:
+        specs = list(checkpoint_path)
+    paths = []
+    for spec in specs:
+        if _glob.has_magic(spec):
+            hits = sorted(_glob.glob(spec))
+            if not hits:
+                raise FileNotFoundError(f"no checkpoints match {spec!r}")
+            paths.extend(hits)
+        else:
+            paths.append(spec)
+    return paths
+
+
 class Predictor:
-    """Loads a checkpoint once; predicts cases / arrays / directories."""
+    """Loads one checkpoint — or a fold ensemble — once; predicts cases.
+
+    ENSEMBLE SERVING (beyond-reference): ``checkpoint_path`` may name
+    several checkpoints (comma-separated, a glob like ``best_fold_*``, or
+    a list). Cross-validation leaves K per-fold best models behind
+    (reference train_bph_cv.py:397-402 — which then never uses them); the
+    standard deployment of a CV run in this domain is to average the fold
+    models' probabilities. TPU-first shape: the K param trees are stacked
+    on a leading axis and the forward is ``jax.vmap`` over that axis —
+    one batched program on the MXU, mean of sigmoid probabilities — which
+    composes unchanged with BN folding, TTA and sliding-window tiling
+    (the ensemble lives inside the per-window apply). HBM cost: K× the
+    folded params (~0.36 GB per fold at base 64).
+    """
 
     def __init__(
         self,
         config: Config,
-        checkpoint_path: Optional[str] = None,
+        checkpoint_path=None,
         explicit: Sequence[str] = (),
         preloaded=None,
     ):
         """``preloaded=(model, state)`` serves an already-loaded model
         (e.g. the Validator's) through the full predictor pipeline — BN
         folding, TTA, spatial sharding, tiling — without a second
-        checkpoint load; otherwise ``checkpoint_path`` is loaded and its
-        meta.json config adopted."""
+        checkpoint load; otherwise ``checkpoint_path`` (one path, or
+        several for an ensemble) is loaded and its meta.json config
+        adopted."""
+        extra_states = []
         if preloaded is not None:
             self.config = config
             self.log = get_logger("pcmseg.predict")
@@ -166,23 +207,27 @@ class Predictor:
 
             if checkpoint_path is None:
                 raise ValueError("checkpoint_path or preloaded required")
-            config = adopt_checkpoint_config(config, checkpoint_path, explicit)
+            paths = expand_model_paths(checkpoint_path)
+            # architecture/preprocessing adopted from the first member;
+            # the others must be shape-compatible (same training config)
+            config = adopt_checkpoint_config(config, paths[0], explicit)
             self.config = config
             self.log = get_logger("pcmseg.predict")
-            self.model, self.state = load_model_state(config, checkpoint_path)
+            self.model, self.state = load_model_state(config, paths[0])
+            extra_states = [load_model_state(config, p)[1] for p in paths[1:]]
+            if extra_states:
+                self.log.info(
+                    "fold-ensemble serving: %d checkpoints (%s)",
+                    len(paths), ", ".join(paths),
+                )
         config = self.config
+        self._n_ensemble = 1 + len(extra_states)
 
         if config.fold_bn and config.norm_layer == "batch" and self.state.batch_stats:
             # serving-graph optimization: conv+BN -> conv (infer/fold_bn.py);
             # removes every norm op from the compiled predict program
             from pcmseg_tpu.infer.fold_bn import fold_batchnorm
 
-            # fold on host, then device_put ONCE: numpy leaves would either
-            # re-upload per call (as args) or inline 360MB into the compile
-            # payload (as closure constants)
-            folded = jax.device_put(
-                fold_batchnorm(self.state.params, self.state.batch_stats)
-            )
             serve_model = UNet3D(
                 n_modalities=config.n_modalities,
                 n_classes=config.n_classes,
@@ -192,24 +237,50 @@ class Predictor:
                 param_dtype=self.model.param_dtype,
                 remat=False,
                 # fused Pallas conv kernels (TPU only; 1.8-2x on the deep
-                # levels — ops/pallas/conv3d.py)
+                # levels — ops/pallas/conv3d.py); the vmapped ensemble path
+                # keeps XLA convs (no batching rule over the Pallas call)
                 use_pallas=(
-                    config.pallas_inference and jax.default_backend() == "tpu"
+                    config.pallas_inference
+                    and jax.default_backend() == "tpu"
+                    and self._n_ensemble == 1
                 ),
             )
-            variables = {"params": folded}
+            # fold on host (numpy)
+            make_vars = lambda st: {  # noqa: E731
+                "params": fold_batchnorm(st.params, st.batch_stats)
+            }
         else:
             serve_model = self.model
-            variables = {"params": self.state.params}
-            if self.state.batch_stats:
-                variables["batch_stats"] = self.state.batch_stats
 
-        # variables as explicit args (closures would inline them into the
-        # compile payload); device_put once
-        self._variables = jax.device_put(variables)
-        apply = lambda vars_, x: serve_model.apply(  # noqa: E731
+            def make_vars(st):
+                v = {"params": st.params}
+                if st.batch_stats:
+                    v["batch_stats"] = st.batch_stats
+                return v
+
+        base_apply = lambda vars_, x: serve_model.apply(  # noqa: E731
             vars_, x, method=UNet3D.predict
         )
+        # variables as explicit args (closures would inline them into the
+        # compile payload — 360MB at base 64); device_put ONCE (numpy
+        # leaves passed as args would re-upload per call)
+        if self._n_ensemble > 1:
+            # fold ensemble: stack the K param trees on a leading axis and
+            # vmap the forward over it — one batched MXU program; the mean
+            # of sigmoid probabilities is the ensemble prediction
+            var_list = [make_vars(st) for st in [self.state] + extra_states]
+            self._variables = jax.device_put(
+                jax.tree.map(
+                    lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                    *var_list,
+                )
+            )
+            apply = lambda vars_, x: jnp.mean(  # noqa: E731
+                jax.vmap(lambda v: base_apply(v, x))(vars_), axis=0
+            )
+        else:
+            self._variables = jax.device_put(make_vars(self.state))
+            apply = base_apply
         self._spatial_sharded = False
         if config.spatial_parallel > 1:
             # spatially-sharded whole-volume inference: the batch's D axis
