@@ -177,10 +177,12 @@ class Predictor:
     (reference train_bph_cv.py:397-402 — which then never uses them); the
     standard deployment of a CV run in this domain is to average the fold
     models' probabilities. TPU-first shape: the K param trees are stacked
-    on a leading axis and the forward is ``jax.vmap`` over that axis —
-    one batched program on the MXU, mean of sigmoid probabilities — which
-    composes unchanged with BN folding, TTA and sliding-window tiling
-    (the ensemble lives inside the per-window apply). HBM cost: K× the
+    on a leading axis and the forward is a ``lax.scan`` over that axis
+    accumulating the probability mean — one network copy in the compiled
+    program, each fold at full single-model speed (measured 1.94× at K=2;
+    vmap-over-params measured 8.1× — see the A/B note in __init__). The
+    ensemble composes unchanged with BN folding, TTA and sliding-window
+    tiling (it lives inside the per-window apply). HBM cost: K× the
     folded params (~0.36 GB per fold at base 64).
     """
 
@@ -237,8 +239,9 @@ class Predictor:
                 param_dtype=self.model.param_dtype,
                 remat=False,
                 # fused Pallas conv kernels (TPU only; 1.8-2x on the deep
-                # levels — ops/pallas/conv3d.py); the vmapped ensemble path
-                # keeps XLA convs (no batching rule over the Pallas call)
+                # levels — ops/pallas/conv3d.py); the ensemble path keeps
+                # XLA convs (Pallas under scan-over-weights is untested,
+                # and pallas_inference is off by default with evidence)
                 use_pallas=(
                     config.pallas_inference
                     and jax.default_backend() == "tpu"
@@ -266,8 +269,15 @@ class Predictor:
         # leaves passed as args would re-upload per call)
         if self._n_ensemble > 1:
             # fold ensemble: stack the K param trees on a leading axis and
-            # vmap the forward over it — one batched MXU program; the mean
-            # of sigmoid probabilities is the ensemble prediction
+            # lax.scan the forward over it, accumulating the probability
+            # mean — ONE network copy in the compiled program (compile time
+            # flat in K) and each iteration runs the fully-fused serving
+            # forward at single-model speed. Measured on-chip at
+            # 128³/base-64, K=2 (tools/bench_ensemble_serve.py): scan
+            # 123.0 ms/vol (1.94× single — the ideal K×), unrolled-K
+            # 122.2 ms but K× compile, and vmap-over-params 513.6 ms
+            # (8.1×: batching the conv *weights* knocks every conv off
+            # XLA's fast path).
             var_list = [make_vars(st) for st in [self.state] + extra_states]
             self._variables = jax.device_put(
                 jax.tree.map(
@@ -275,9 +285,16 @@ class Predictor:
                     *var_list,
                 )
             )
-            apply = lambda vars_, x: jnp.mean(  # noqa: E731
-                jax.vmap(lambda v: base_apply(v, x))(vars_), axis=0
-            )
+            n_out = config.n_classes
+
+            def apply(vars_, x):
+                init = jnp.zeros((*x.shape[:-1], n_out), jnp.float32)
+
+                def body(acc, v):
+                    return acc + base_apply(v, x), None
+
+                total, _ = jax.lax.scan(body, init, vars_)
+                return total / self._n_ensemble
         else:
             self._variables = jax.device_put(make_vars(self.state))
             apply = base_apply
