@@ -98,7 +98,10 @@ def build_parser() -> argparse.ArgumentParser:
     pv = sub.add_parser("validate", help="evaluate a checkpoint (Dice/IoU)")
     _add_common_flags(pv)
     pv.add_argument("--model_path", required=True,
-                    help="checkpoint dir (Orbax) or torch .pth")
+                    help="checkpoint dir (Orbax) or torch .pth; several "
+                         "(comma-separated or a glob like "
+                         "'run/best_fold_*') score the fold ensemble's "
+                         "averaged probabilities")
     pv.add_argument("--native", action="store_true",
                     help="score at each label's native grid via "
                          "sliding-window inference (the honest Dice; "

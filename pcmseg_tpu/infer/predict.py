@@ -374,7 +374,7 @@ class Predictor:
         probs = self._predict_probs_device(image)
         return np.asarray((probs[..., 0] > threshold).astype(jnp.uint8))
 
-    def _predict_probs_device(self, image: np.ndarray) -> jnp.ndarray:
+    def _cast_wire(self, image: np.ndarray) -> np.ndarray:
         # bf16 on the wire — only when the net computes in bf16 (it then
         # casts at its first layer, so rounding here is numerics-identical
         # and halves the H2D transfer); fp32-serving models keep fp32
@@ -384,6 +384,21 @@ class Predictor:
                 image = image.astype(np.float32).astype(ml_dtypes.bfloat16)
         elif image.dtype != np.float32:
             image = image.astype(np.float32)
+        return image
+
+    def predict_probs_batch(self, images: np.ndarray) -> np.ndarray:
+        """(N,D,H,W,C) window-sized batch → (N,D,H,W,K) probabilities.
+
+        Whole-volume apply only (no tiling) — for callers whose inputs are
+        already at a window-fitting shape, e.g. ensemble validation over
+        target_size-resampled cases (infer/validate.py)."""
+        images = self._cast_wire(images)
+        if images.ndim != 5:
+            raise ValueError(f"expected (N,D,H,W,C), got {images.shape}")
+        return np.asarray(self._predict(images))
+
+    def _predict_probs_device(self, image: np.ndarray) -> jnp.ndarray:
+        image = self._cast_wire(image)
         if image.ndim != 4:
             raise ValueError(f"expected (D,H,W,C), got {image.shape}")
         ws = self.config.window_size

@@ -144,16 +144,27 @@ def load_model_state(config: Config, checkpoint_path: str):
 
 
 class Validator:
-    """Evaluates a trained model over a dataset (or index subset)."""
+    """Evaluates a trained model over a dataset (or index subset).
+
+    ``checkpoint_path`` may name several checkpoints (comma list / glob /
+    list — same spec as the Predictor): the fold-ensemble's averaged
+    probabilities are then scored instead of a single model's, which is
+    how one measures whether serving the CV ensemble is worth its K×
+    device cost.
+    """
 
     def __init__(
         self,
         config: Config,
-        checkpoint_path: str,
+        checkpoint_path,
         dataset: Optional[ProstateDataset] = None,
         indices: Optional[Sequence[int]] = None,
         explicit: Sequence[str] = (),
     ):
+        from pcmseg_tpu.infer.predict import expand_model_paths
+
+        self._paths = expand_model_paths(checkpoint_path)
+        checkpoint_path = self._paths[0]
         config = adopt_checkpoint_config(config, checkpoint_path, explicit)
         self.config = config
         self.log = get_logger("pcmseg.validate")
@@ -175,19 +186,41 @@ class Validator:
             indices=indices,
         )
         self.model, self.state = load_model_state(config, checkpoint_path)
+        self._ensemble = None
+        if len(self._paths) > 1:
+            from pcmseg_tpu.infer.predict import Predictor
+
+            self._ensemble = Predictor(config, self._paths, explicit=explicit)
         self._eval_step = jit_eval_step(make_eval_step(self.model, config))
+
+    def _batch_scores(self, batch) -> tuple:
+        """Per-sample (dice, iou) lists at ``config.threshold``.
+
+        Single model: the jitted eval step. Ensemble: the Predictor's
+        fold-averaged probabilities, scored with the same per-sample
+        formulas (steps.make_eval_step / reference validate_model.py:24-95)."""
+        if self._ensemble is None:
+            m = self._eval_step(
+                self.state, {"image": batch["image"], "label": batch["label"]}
+            )
+            return np.asarray(m["dice"]).tolist(), np.asarray(m["iou"]).tolist()
+        from pcmseg_tpu.ops.metrics import EPS
+
+        probs = self._ensemble.predict_probs_batch(batch["image"])
+        n = probs.shape[0]
+        p = (probs > self.config.threshold).astype(np.float32).reshape(n, -1)
+        t = np.asarray(batch["label"], np.float32).reshape(n, -1)
+        inter = (p * t).sum(axis=1)
+        psum, tsum = p.sum(axis=1), t.sum(axis=1)
+        dice = (2.0 * inter) / (psum + tsum + EPS)
+        iou = inter / (psum + tsum - inter + EPS)
+        return dice.tolist(), iou.tolist()
 
     def validate(self, save: bool = True) -> Dict:
         case_results: List[Dict] = []
         for batch in self.loader:
-            m = self._eval_step(
-                self.state, {"image": batch["image"], "label": batch["label"]}
-            )
-            for cid, dice, iou in zip(
-                batch["case_id"],
-                np.asarray(m["dice"]).tolist(),
-                np.asarray(m["iou"]).tolist(),
-            ):
+            dices, ious = self._batch_scores(batch)
+            for cid, dice, iou in zip(batch["case_id"], dices, ious):
                 case_results.append(
                     {"case_id": cid, "dice": float(dice), "iou": float(iou)}
                 )
@@ -293,7 +326,10 @@ class Validator:
         """A Predictor sharing this Validator's already-loaded model/state
         (no second checkpoint load), built through the REAL constructor so
         it keeps every serving feature (BN folding, TTA, spatial sharding,
-        tiling) in sync with the predict path."""
+        tiling) in sync with the predict path. Under ensemble validation
+        the fold-ensemble Predictor (already loaded) is reused directly."""
+        if self._ensemble is not None:
+            return self._ensemble
         from pcmseg_tpu.infer.predict import Predictor
 
         return Predictor(

@@ -85,6 +85,38 @@ def test_ensemble_probs_are_mean_of_members(tmp_path):
     np.testing.assert_allclose(pe, (p0 + p1) / 2.0, rtol=1e-5, atol=1e-5)
 
 
+def test_ensemble_validator_scores_fold_mean(tmp_path):
+    """Validator with a multi-checkpoint spec scores the fold-averaged
+    probabilities — cross-checked against the two single-model Predictors
+    averaged by hand with the same per-case Dice formula."""
+    from pcmseg_tpu.data.synthetic import make_synthetic_dataset
+    from pcmseg_tpu.infer.validate import Validator
+    from pcmseg_tpu.ops.metrics import EPS
+
+    root = str(tmp_path / "data")
+    make_synthetic_dataset(root, n_cases=3, shape=(16, 16, 16), seed=7)
+    config = _config(
+        data_dir=root, save_dir=str(tmp_path / "out"), batch_size=2
+    )
+    paths = _save_checkpoints(tmp_path, config, n=2)
+
+    v = Validator(config, ",".join(paths))
+    res = v.validate(save=False)
+    assert res["case_count"] == 3
+    got = {r["case_id"]: r["dice"] for r in res["case_results"]}
+
+    members = [Predictor(config, p) for p in paths]
+    for i in range(len(v.dataset)):
+        s = v.dataset[i]
+        img = np.asarray(s["image"], np.float32)
+        probs = sum(m.predict_probs(img) for m in members) / len(members)
+        p = (probs[..., 0] > config.threshold).astype(np.float32).reshape(-1)
+        t = np.asarray(s["label"], np.float32).reshape(-1)
+        inter = float((p * t).sum())
+        dice = 2.0 * inter / (p.sum() + t.sum() + EPS)
+        np.testing.assert_allclose(got[s["case_id"]], dice, atol=1e-5)
+
+
 def test_ensemble_glob_spec_and_tta_compose(tmp_path):
     """Glob checkpoint spec + TTA: the flip ensemble wraps the fold-mean
     apply; output stays a valid probability field."""
