@@ -118,7 +118,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="checkpoint to serve; several (comma-separated or "
                          "a glob like 'run/best_fold_*') serve a "
                          "cross-validation fold ensemble — probabilities "
-                         "are averaged in one vmapped program")
+                         "are averaged in one compiled program")
     pp.add_argument("--input_dir", required=True,
                     help="case dir with one subdir per modality")
     pp.add_argument("--output_dir", default="predictions")
