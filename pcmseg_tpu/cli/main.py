@@ -84,7 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--no_validation", action="store_true")
     pt.add_argument("--resume", action="store_true",
                     help="resume from the latest checkpoint in save_dir")
-    pt.add_argument("--loss", choices=["dice", "bce_dice"], default=None)
+    pt.add_argument(
+        "--loss",
+        choices=["dice", "bce_dice", "tversky", "focal", "focal_dice"],
+        default=None,
+    )
     pt.add_argument("--data_augmentation", action="store_true")
     pt.add_argument("--interactive", action="store_true",
                     help="prompt for training mode (reference "

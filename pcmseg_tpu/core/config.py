@@ -34,7 +34,7 @@ DEFAULT_MODALITIES: Tuple[str, ...] = (
 
 MISSING_STRATEGIES = ("zero_fill", "skip", "duplicate")
 NORMALIZE_MODES = ("percentile", "minmax", "zscore", "none")
-LOSSES = ("dice", "bce_dice")
+LOSSES = ("dice", "bce_dice", "tversky", "focal", "focal_dice")
 NORM_LAYERS = ("batch", "group", "none")
 
 
@@ -124,8 +124,14 @@ class Config:
     # ---- loss -------------------------------------------------------------
     loss: str = "dice"  # all reference trainers use plain DiceLoss
     dice_smooth: float = 1.0  # utils/losses.py:33
-    bce_weight: float = 0.5
+    bce_weight: float = 0.5  # also the focal term's weight under 'focal_dice'
     dice_weight: float = 0.5
+    # beyond-reference imbalance losses (ops/losses.py): Tversky FP/FN
+    # trade-off and focal focusing parameters
+    tversky_alpha: float = 0.3
+    tversky_beta: float = 0.7
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
 
     # ---- checkpointing / artifacts -----------------------------------------
     save_dir: str = "checkpoints"

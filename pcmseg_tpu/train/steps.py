@@ -162,6 +162,10 @@ def make_train_step(
         dice_smooth=config.dice_smooth,
         bce_weight=config.bce_weight,
         dice_weight=config.dice_weight,
+        tversky_alpha=config.tversky_alpha,
+        tversky_beta=config.tversky_beta,
+        focal_gamma=config.focal_gamma,
+        focal_alpha=config.focal_alpha,
     )
     has_bn = model.norm_layer == "batch"
     accum = max(1, int(getattr(config, "accum_steps", 1)))
@@ -252,6 +256,10 @@ def make_eval_step(model, config, loss_fn: Optional[Callable] = None) -> Callabl
         dice_smooth=config.dice_smooth,
         bce_weight=config.bce_weight,
         dice_weight=config.dice_weight,
+        tversky_alpha=config.tversky_alpha,
+        tversky_beta=config.tversky_beta,
+        focal_gamma=config.focal_gamma,
+        focal_alpha=config.focal_alpha,
     )
     has_bn = model.norm_layer == "batch"
     threshold = config.threshold

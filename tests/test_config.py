@@ -66,7 +66,7 @@ def test_validation_errors():
     with pytest.raises(ValueError):
         Config(data_type="XYZ")
     with pytest.raises(ValueError):
-        Config(loss="focal")
+        Config(loss="jaccard_hinge")
 
 
 def test_json_roundtrip():
