@@ -90,6 +90,16 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
     )
     pt.add_argument("--data_augmentation", action="store_true")
+    pt.add_argument("--scheduler",
+                    choices=["reduce_on_plateau", "cosine", "poly",
+                             "constant"],
+                    default=None,
+                    help="LR schedule: the reference's plateau (default), "
+                         "cosine annealing, nnU-Net-style poly decay, or "
+                         "constant")
+    pt.add_argument("--warmup_epochs", type=int, default=None,
+                    help="linear LR ramp over the first N epochs "
+                         "(works with every --scheduler)")
     pt.add_argument("--interactive", action="store_true",
                     help="prompt for training mode (reference "
                          "train_bph_optimized.py:509-522 parity shim)")
@@ -114,7 +124,6 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--tta", action="store_true",
                     help="8-way flip-ensemble test-time augmentation "
                          "(with --native)")
-
     # predict
     pp = sub.add_parser("predict", help="segment a case directory")
     _add_common_flags(pp)
@@ -238,6 +247,8 @@ def _config_from_args(args, preset: str = "standard", with_explicit: bool = Fals
         "learning_rate": "learning_rate",
         "n_splits": "n_splits",
         "loss": "loss",
+        "scheduler": "scheduler",
+        "warmup_epochs": "warmup_epochs",
         "threshold": "threshold",
         "window_overlap": "window_overlap",
         "window_blend": "window_blend",

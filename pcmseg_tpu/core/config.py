@@ -91,7 +91,10 @@ class Config:
     eps: float = 1e-8
     grad_clip_norm: float = 1.0  # reference train_bph.py:166
 
-    # LR scheduler (reference SCHEDULER_CONFIG, config_example.py:108-116)
+    # LR scheduler (reference SCHEDULER_CONFIG, config_example.py:108-116).
+    # 'reduce_on_plateau' is the reference-parity default; 'cosine' and
+    # 'poly' are metric-independent epoch decays (train/schedule.py), and
+    # 'constant' holds learning_rate for A/B runs. All honor warmup_epochs.
     scheduler: str = "reduce_on_plateau"
     plateau_mode: str = "min"
     plateau_factor: float = 0.5
@@ -99,6 +102,8 @@ class Config:
     plateau_threshold: float = 1e-4
     plateau_cooldown: int = 0
     min_lr: float = 1e-7
+    warmup_epochs: int = 0  # linear LR ramp over the first N epochs
+    poly_power: float = 0.9  # 'poly' decay exponent (nnU-Net's default)
 
     # early stopping (BASE_CONFIG patience=15; high_performance=20)
     early_stopping: bool = True
@@ -225,6 +230,13 @@ class Config:
             raise ValueError(
                 f"conv_lowering={self.conv_lowering!r}; expected 'auto', "
                 "'lax', 'im2col', 'hybrid', or 'hybrid_pallas'"
+            )
+        if self.scheduler not in (
+            "reduce_on_plateau", "cosine", "poly", "constant"
+        ):
+            raise ValueError(
+                f"scheduler={self.scheduler!r}; expected 'reduce_on_plateau',"
+                " 'cosine', 'poly', or 'constant'"
             )
         if self.data_type not in ("BPH", "PCA"):
             raise ValueError(f"data_type={self.data_type!r}; expected 'BPH' or 'PCA'")

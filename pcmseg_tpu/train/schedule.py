@@ -1,7 +1,8 @@
-"""Host-side training control: ReduceLROnPlateau and early stopping.
+"""Host-side training control: LR schedules and early stopping.
 
 These are the stateful, data-dependent decisions that belong on the host
-(they cross the jit boundary once per epoch, not per step).
+(they cross the jit boundary once per epoch, not per step — the LR is an
+injected optax hyperparameter, so changing it never retraces).
 
 ``ReduceLROnPlateau`` matches torch.optim.lr_scheduler.ReduceLROnPlateau
 semantics with the reference's settings (SCHEDULER_CONFIG,
@@ -11,6 +12,13 @@ Torch's exact rule: a metric is an improvement iff
 ``metric < best * (1 - threshold)`` (rel mode, min); patience counts epochs
 since the last improvement, and the LR drops when ``bad_epochs > patience``.
 
+``EpochSchedule`` (beyond-reference) provides the metric-independent
+decays standard in this domain — cosine annealing and nnU-Net's polynomial
+``(1 - t)^0.9`` — plus 'constant' for A/B runs, all with an optional linear
+warmup ramp. ``make_scheduler`` picks from ``config.scheduler``; every
+schedule exposes the same ``lr`` / ``step(metric)`` / ``state_dict``
+surface so the Trainer and checkpoint resume treat them uniformly.
+
 ``EarlyStopping`` matches the reference's counters: stop after ``patience``
 epochs without improvement (patience 15 in the CV trainer
 train_bph_optimized.py:253,360-363; 20 in BaseTrainer utils/trainer.py:304).
@@ -18,6 +26,7 @@ train_bph_optimized.py:253,360-363; 20 in BaseTrainer utils/trainer.py:304).
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 from typing import Dict, Optional
 
@@ -93,6 +102,121 @@ class ReduceLROnPlateau:
             cooldown=config.plateau_cooldown,
             min_lr=config.min_lr,
         )
+
+
+@dataclass
+class EpochSchedule:
+    """Metric-independent per-epoch LR decay with optional linear warmup.
+
+    ``lr`` is the rate for the epoch about to run; ``step(metric)`` is
+    called after each epoch (the metric is ignored — uniform interface
+    with ReduceLROnPlateau) and returns the next epoch's rate.
+
+    Shapes (t = post-warmup progress in [0, 1]):
+      * cosine:   min_lr + (base - min_lr) * (1 + cos(pi t)) / 2
+      * poly:     min_lr + (base - min_lr) * (1 - t)^power
+      * constant: base
+    Warmup epochs ramp linearly: base * (e + 1) / warmup_epochs.
+    """
+
+    kind: str  # 'cosine' | 'poly' | 'constant'
+    base_lr: float
+    total_epochs: int
+    warmup_epochs: int = 0
+    min_lr: float = 0.0
+    poly_power: float = 0.9
+
+    epochs_done: int = 0
+
+    @property
+    def lr(self) -> float:
+        return self.lr_at(self.epochs_done)
+
+    def lr_at(self, epoch: int) -> float:
+        if self.warmup_epochs > 0 and epoch < self.warmup_epochs:
+            return self.base_lr * (epoch + 1) / self.warmup_epochs
+        if self.kind == "constant":
+            return self.base_lr
+        span = max(1, self.total_epochs - self.warmup_epochs)
+        t = min(max(epoch - self.warmup_epochs, 0) / span, 1.0)
+        if self.kind == "cosine":
+            return self.min_lr + 0.5 * (self.base_lr - self.min_lr) * (
+                1.0 + math.cos(math.pi * t)
+            )
+        return self.min_lr + (self.base_lr - self.min_lr) * (1.0 - t) ** (
+            self.poly_power
+        )
+
+    def step(self, metric: float) -> float:
+        del metric
+        self.epochs_done += 1
+        return self.lr
+
+    def state_dict(self) -> Dict:
+        return {"epochs_done": self.epochs_done}
+
+    def load_state_dict(self, d: Dict) -> None:
+        self.epochs_done = d["epochs_done"]
+
+
+@dataclass
+class WarmupPlateau:
+    """Linear warmup in front of ReduceLROnPlateau.
+
+    During warmup the LR ramps and epoch metrics do NOT count against the
+    plateau's patience (a ramping LR makes them incomparable); from the
+    first post-warmup epoch the inner torch-exact plateau takes over.
+    """
+
+    inner: ReduceLROnPlateau
+    base_lr: float
+    warmup_epochs: int
+    epochs_done: int = 0
+
+    @property
+    def lr(self) -> float:
+        if self.epochs_done < self.warmup_epochs:
+            return self.base_lr * (self.epochs_done + 1) / self.warmup_epochs
+        return self.inner.lr
+
+    def step(self, metric: float) -> float:
+        self.epochs_done += 1
+        if self.epochs_done <= self.warmup_epochs:
+            return self.lr
+        return self.inner.step(metric)
+
+    def state_dict(self) -> Dict:
+        return {"epochs_done": self.epochs_done, "inner": self.inner.state_dict()}
+
+    def load_state_dict(self, d: Dict) -> None:
+        self.epochs_done = d["epochs_done"]
+        self.inner.load_state_dict(d["inner"])
+
+
+def make_scheduler(config):
+    """Build the configured LR schedule (config.scheduler).
+
+    All returned objects share lr/step/state_dict/load_state_dict, start
+    at the epoch-0 rate (which under warmup is NOT config.learning_rate —
+    the Trainer installs scheduler.lr before the first epoch).
+    """
+    if config.scheduler == "reduce_on_plateau":
+        plateau = ReduceLROnPlateau.from_config(config)
+        if config.warmup_epochs > 0:
+            return WarmupPlateau(
+                inner=plateau,
+                base_lr=config.learning_rate,
+                warmup_epochs=config.warmup_epochs,
+            )
+        return plateau
+    return EpochSchedule(
+        kind=config.scheduler,
+        base_lr=config.learning_rate,
+        total_epochs=config.num_epochs,
+        warmup_epochs=config.warmup_epochs,
+        min_lr=config.min_lr,
+        poly_power=config.poly_power,
+    )
 
 
 @dataclass

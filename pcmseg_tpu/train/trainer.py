@@ -40,7 +40,7 @@ from pcmseg_tpu.train.checkpoints import (
     load_checkpoint,
     save_checkpoint,
 )
-from pcmseg_tpu.train.schedule import EarlyStopping, ReduceLROnPlateau
+from pcmseg_tpu.train.schedule import EarlyStopping, make_scheduler
 from pcmseg_tpu.train.steps import (
     create_train_state,
     jit_eval_step,
@@ -254,7 +254,7 @@ class Trainer:
                 )
         self._epochs_run = 0
 
-        self.scheduler = ReduceLROnPlateau.from_config(config)
+        self.scheduler = make_scheduler(config)
         self.early_stopping = EarlyStopping(patience=config.patience)
         self.history: Dict[str, List[float]] = {"train_loss": [], "val_loss": []}
         self.best_monitor = float("inf")
@@ -641,6 +641,10 @@ class Trainer:
             cfg.batch_size,
             dict(self.mesh.shape),
         )
+        # the schedule's current rate, not config.learning_rate: under
+        # warmup (or a resume mid-decay) the first epoch's LR differs from
+        # the value create_train_state injected
+        self.state = set_learning_rate(self.state, self.scheduler.lr)
         for epoch in range(self.start_epoch, cfg.num_epochs):
             train_loss = self.train_epoch()
             self.history["train_loss"].append(train_loss)
@@ -662,7 +666,7 @@ class Trainer:
                     epoch, train_loss, self.scheduler.lr, self.timer.items_per_sec,
                 )
 
-            # LR plateau schedule → injected hyperparam
+            # LR schedule (plateau/cosine/poly/warmup) → injected hyperparam
             new_lr = self.scheduler.step(monitor)
             self.state = set_learning_rate(self.state, new_lr)
 
