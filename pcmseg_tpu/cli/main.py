@@ -124,6 +124,19 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--tta", action="store_true",
                     help="8-way flip-ensemble test-time augmentation "
                          "(with --native)")
+    pv.add_argument("--surface_metrics", action="store_true",
+                    help="also report boundary metrics per case: robust "
+                         "Hausdorff (HD95), average symmetric surface "
+                         "distance, and normalized surface Dice. Units are "
+                         "voxels on the default resampled grid, "
+                         "millimetres with --native")
+    pv.add_argument("--surface_tolerance", type=float, default=None,
+                    help="normalized-surface-Dice tolerance "
+                         "(voxels, or mm with --native; default 1.0)")
+    pv.add_argument("--hausdorff_percentile", type=float, default=None,
+                    help="robust-Hausdorff percentile (default 95; "
+                         "100 = classical Hausdorff)")
+
     # predict
     pp = sub.add_parser("predict", help="segment a case directory")
     _add_common_flags(pp)
@@ -250,6 +263,8 @@ def _config_from_args(args, preset: str = "standard", with_explicit: bool = Fals
         "scheduler": "scheduler",
         "warmup_epochs": "warmup_epochs",
         "threshold": "threshold",
+        "surface_tolerance": "surface_dice_tolerance",
+        "hausdorff_percentile": "hausdorff_percentile",
         "window_overlap": "window_overlap",
         "window_blend": "window_blend",
         "profile": "profile_dir",
@@ -274,6 +289,8 @@ def _config_from_args(args, preset: str = "standard", with_explicit: bool = Fals
         overrides["sliding_window"] = True
     if getattr(args, "tta", False):
         overrides["tta"] = True
+    if getattr(args, "surface_metrics", False):
+        overrides["surface_metrics"] = True
     config = get_config(preset, **overrides)
     if with_explicit:
         return config, frozenset(overrides)

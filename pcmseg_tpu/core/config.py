@@ -184,6 +184,14 @@ class Config:
 
     # ---- inference ----------------------------------------------------------
     threshold: float = 0.5
+    # also report boundary metrics (robust Hausdorff / ASSD / normalized
+    # surface Dice — ops/surface.py) per case in validation. Computed
+    # host-side from the fetched uint8 masks, overlapped with the device's
+    # next batch. Units: voxels of the evaluation grid in `validate`
+    # (resampled to target_size), millimetres in `validate --native`.
+    surface_metrics: bool = False
+    hausdorff_percentile: float = 95.0
+    surface_dice_tolerance: float = 1.0
     fold_bn: bool = True  # fold frozen BN into conv weights for serving
     # Fused Pallas convs for folded serving (TPU only). Off by default: the
     # kernels beat XLA's conv 1.8-2x standalone at the mid/deep levels, but

@@ -191,39 +191,83 @@ class Validator:
             from pcmseg_tpu.infer.predict import Predictor
 
             self._ensemble = Predictor(config, self._paths, explicit=explicit)
-        self._eval_step = jit_eval_step(make_eval_step(self.model, config))
+        self._eval_step = jit_eval_step(
+            make_eval_step(self.model, config, return_pred=config.surface_metrics)
+        )
 
     def _batch_scores(self, batch) -> tuple:
-        """Per-sample (dice, iou) lists at ``config.threshold``.
+        """Per-sample (dice, iou, masks) at ``config.threshold``.
 
         Single model: the jitted eval step. Ensemble: the Predictor's
         fold-averaged probabilities, scored with the same per-sample
-        formulas (steps.make_eval_step / reference validate_model.py:24-95)."""
+        formulas (steps.make_eval_step / reference validate_model.py:24-95).
+        ``masks`` is the uint8 thresholded prediction (only materialized
+        when ``surface_metrics`` asked for it, else None)."""
         if self._ensemble is None:
             m = self._eval_step(
                 self.state, {"image": batch["image"], "label": batch["label"]}
             )
-            return np.asarray(m["dice"]).tolist(), np.asarray(m["iou"]).tolist()
+            masks = np.asarray(m["pred"]) if "pred" in m else None
+            return np.asarray(m["dice"]).tolist(), np.asarray(m["iou"]).tolist(), masks
         from pcmseg_tpu.ops.metrics import EPS
 
         probs = self._ensemble.predict_probs_batch(batch["image"])
         n = probs.shape[0]
-        p = (probs > self.config.threshold).astype(np.float32).reshape(n, -1)
+        masks = (probs > self.config.threshold).astype(np.uint8)
+        p = masks.astype(np.float32).reshape(n, -1)
         t = np.asarray(batch["label"], np.float32).reshape(n, -1)
         inter = (p * t).sum(axis=1)
         psum, tsum = p.sum(axis=1), t.sum(axis=1)
         dice = (2.0 * inter) / (psum + tsum + EPS)
         iou = inter / (psum + tsum - inter + EPS)
-        return dice.tolist(), iou.tolist()
+        if not self.config.surface_metrics:
+            masks = None
+        return dice.tolist(), iou.tolist(), masks
+
+    def _case_surface(self, mask, label, spacing) -> Dict:
+        """Boundary metrics for one case; JSON-safe (inf -> None)."""
+        from pcmseg_tpu.ops.surface import case_surface_metrics
+
+        cfg = self.config
+        m = case_surface_metrics(
+            np.asarray(mask),
+            np.asarray(label),
+            spacing=spacing,
+            percentile=cfg.hausdorff_percentile,
+            tolerance=cfg.surface_dice_tolerance,
+        )
+        return {
+            k: (float(v) if np.isfinite(v) else None) for k, v in m.items()
+        }
+
+    @staticmethod
+    def _surface_averages(case_results: List[Dict]) -> Dict:
+        """Means over the cases where the metric is defined (one-empty-mask
+        cases carry null distances; surface_dice is always defined)."""
+        out = {}
+        for k in ("hd95", "assd", "surface_dice"):
+            vals = [r[k] for r in case_results if r.get(k) is not None]
+            out[f"avg_{k}"] = float(np.mean(vals)) if vals else None
+        return out
 
     def validate(self, save: bool = True) -> Dict:
+        cfg = self.config
         case_results: List[Dict] = []
         for batch in self.loader:
-            dices, ious = self._batch_scores(batch)
-            for cid, dice, iou in zip(batch["case_id"], dices, ious):
-                case_results.append(
-                    {"case_id": cid, "dice": float(dice), "iou": float(iou)}
-                )
+            dices, ious, masks = self._batch_scores(batch)
+            for i, (cid, dice, iou) in enumerate(
+                zip(batch["case_id"], dices, ious)
+            ):
+                rec = {"case_id": cid, "dice": float(dice), "iou": float(iou)}
+                if masks is not None:
+                    # unit spacing: this validator scores on the resampled
+                    # target_size grid, so distances read in voxels
+                    rec.update(
+                        self._case_surface(
+                            masks[i], batch["label"][i], (1.0, 1.0, 1.0)
+                        )
+                    )
+                case_results.append(rec)
 
         if not case_results:
             raise RuntimeError("validation ran over zero cases")
@@ -236,6 +280,9 @@ class Validator:
             "case_count": len(case_results),
             "case_results": case_results,
         }
+        if cfg.surface_metrics:
+            results.update(self._surface_averages(case_results))
+            results["surface_units"] = "voxel"
         self.log.info(
             "validation: avg dice %.4f avg iou %.4f over %d cases",
             avg_dice, avg_iou, len(case_results),
@@ -288,14 +335,19 @@ class Validator:
             image = np.stack(channels, axis=-1).astype(np.float32)
             # device-side threshold (uint8 D2H is 4x smaller than probs)
             mask = predictor.predict_mask(image)[..., None].astype(np.float32)
-            case_results.append(
-                {
-                    "case_id": rec.case_id,
-                    "dice": float(dice_score(mask, label)),
-                    "iou": float(iou_score(mask, label)),
-                    "shape": list(label_vol.shape),
-                }
-            )
+            case_rec = {
+                "case_id": rec.case_id,
+                "dice": float(dice_score(mask, label)),
+                "iou": float(iou_score(mask, label)),
+                "shape": list(label_vol.shape),
+            }
+            if cfg.surface_metrics:
+                # Volume spacing is (sx,sy,sz); data axes are (z,y,x) —
+                # reverse so distances come out in true millimetres
+                case_rec.update(
+                    self._case_surface(mask, label, label_vol.spacing[::-1])
+                )
+            case_results.append(case_rec)
 
         if not case_results:
             raise RuntimeError("native validation ran over zero cases")
@@ -309,6 +361,9 @@ class Validator:
             "case_count": len(case_results),
             "case_results": case_results,
         }
+        if cfg.surface_metrics:
+            results.update(self._surface_averages(case_results))
+            results["surface_units"] = "mm"
         self.log.info(
             "native validation: avg dice %.4f avg iou %.4f over %d cases",
             avg_dice, avg_iou, len(case_results),

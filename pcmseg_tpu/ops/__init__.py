@@ -7,3 +7,9 @@ from pcmseg_tpu.ops.losses import (  # noqa: F401
     focal_dice_loss,
 )
 from pcmseg_tpu.ops.metrics import dice_score, iou_score  # noqa: F401
+from pcmseg_tpu.ops.surface import (  # noqa: F401
+    assd,
+    hausdorff_distance,
+    surface_dice,
+    surface_distances,
+)

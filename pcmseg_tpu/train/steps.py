@@ -245,11 +245,19 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(model, config, loss_fn: Optional[Callable] = None) -> Callable:
+def make_eval_step(
+    model,
+    config,
+    loss_fn: Optional[Callable] = None,
+    return_pred: bool = False,
+) -> Callable:
     """Build the eval step: (state, batch) -> metrics dict.
 
     Returns the batch loss plus *per-sample* Dice/IoU at the configured
     threshold (reference validate_model.py:216-248 computes these per case).
+    With ``return_pred`` the thresholded masks ride along as uint8 (4x
+    smaller D2H than probabilities) for host-side boundary metrics
+    (ops/surface.py).
     """
     loss_fn = loss_fn or make_loss_fn(
         config.loss,
@@ -287,7 +295,7 @@ def make_eval_step(model, config, loss_fn: Optional[Callable] = None) -> Callabl
         # weighted scalar aggregates: replicated outputs every process can
         # read under multi-host sharding (per-sample arrays are not)
         w = weight.astype(jnp.float32) if weight is not None else jnp.ones((n,))
-        return {
+        out = {
             "loss": loss,
             "dice": dice,
             "iou": iou,
@@ -295,6 +303,9 @@ def make_eval_step(model, config, loss_fn: Optional[Callable] = None) -> Callabl
             "iou_sum": jnp.sum(iou * w),
             "weight_sum": jnp.sum(w),
         }
+        if return_pred:
+            out["pred"] = pred.astype(jnp.uint8)
+        return out
 
     return eval_step
 
