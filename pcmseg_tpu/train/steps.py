@@ -87,20 +87,25 @@ def get_learning_rate(state: TrainState) -> float:
 def set_learning_rate(state: TrainState, lr: float) -> TrainState:
     """Functionally update the injected learning rate (no retrace).
 
-    The replacement keeps the old leaf's sharding: under a multi-host mesh
-    the LR must stay a *global* replicated array (a plain host-side
-    ``jnp.asarray`` is single-device, which Orbax refuses to serialize in
-    multi-process settings). Every process computes the same ``lr`` from
-    the same deterministic scheduler, so the callback-built global array
-    is consistent.
+    The replacement keeps a mesh-placed old leaf's sharding: under a
+    multi-host mesh the LR must stay a *global* replicated array (a plain
+    host-side ``jnp.asarray`` is single-device, which Orbax refuses to
+    serialize in multi-process settings). Every process computes the same
+    ``lr`` from the same deterministic scheduler, so the callback-built
+    global array is consistent. A leaf that was never mesh-placed (no
+    ``shard_state`` — plain library use of create_train_state) is rebuilt
+    with plain ``jnp.asarray``: the callback path would commit it to a
+    device, and a committed-vs-uncommitted input is a different jit cache
+    key — i.e. it would silently retrace the train step once.
     """
     import numpy as np
+    from jax.sharding import NamedSharding
 
     hp = dict(state.opt_state.hyperparams)
     old = hp["learning_rate"]
     dtype = jnp.asarray(old).dtype
     sharding = getattr(old, "sharding", None)
-    if sharding is not None:
+    if isinstance(sharding, NamedSharding):
         value = np.asarray(lr, dtype=dtype)
         hp["learning_rate"] = jax.make_array_from_callback(
             (), sharding, lambda idx: value

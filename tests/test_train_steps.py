@@ -82,6 +82,43 @@ def test_learning_rate_injection():
     assert get_learning_rate(state) == pytest.approx(5e-5)
 
 
+def test_set_learning_rate_never_retraces():
+    """set_learning_rate's contract: LR is an injected hyperparameter, so
+    changing it must not change the jit cache key. Regression: the old
+    committed-array rebuild flipped an uncommitted leaf to committed,
+    which IS a different cache key (one silent full retrace)."""
+    config = tiny_config(target_size=(8, 8, 8))
+    model = UNet3D.from_config(config)
+    state = create_train_state(config, jax.random.key(0), model, (1, 8, 8, 8, 5))
+
+    @jax.jit
+    def probe(s):
+        return s.opt_state.hyperparams["learning_rate"] * 2
+
+    probe(state)
+    probe(set_learning_rate(state, 5e-5))
+    probe(set_learning_rate(set_learning_rate(state, 1e-3), 2e-3))
+    assert probe._cache_size() == 1
+
+    # a mesh-placed state keeps its global replicated leaf (multi-host
+    # Orbax needs it) and equally never retraces
+    from pcmseg_tpu.parallel.sharding import make_mesh, shard_state
+
+    mesh = make_mesh()
+    sharded = shard_state(state, mesh)
+    old = sharded.opt_state.hyperparams["learning_rate"]
+    new = set_learning_rate(sharded, 7e-5).opt_state.hyperparams["learning_rate"]
+    assert new.sharding == old.sharding
+
+    @jax.jit
+    def probe2(s):
+        return s.opt_state.hyperparams["learning_rate"] * 2
+
+    probe2(sharded)
+    probe2(set_learning_rate(sharded, 9e-5))
+    assert probe2._cache_size() == 1
+
+
 def test_lr_change_affects_update_magnitude():
     config = tiny_config()
     model = UNet3D.from_config(config)
