@@ -100,6 +100,12 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--warmup_epochs", type=int, default=None,
                     help="linear LR ramp over the first N epochs "
                          "(works with every --scheduler)")
+    pt.add_argument("--ema_decay", type=float, default=None,
+                    help="EMA (Polyak) weight averaging: keep an "
+                         "exponential moving average of the weights "
+                         "(e.g. 0.999) updated inside the train step; "
+                         "validation, 'best' selection, and serving use "
+                         "the averaged weights. 0 (default) disables")
     pt.add_argument("--interactive", action="store_true",
                     help="prompt for training mode (reference "
                          "train_bph_optimized.py:509-522 parity shim)")
@@ -136,6 +142,9 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--hausdorff_percentile", type=float, default=None,
                     help="robust-Hausdorff percentile (default 95; "
                          "100 = classical Hausdorff)")
+    pv.add_argument("--no_ema", action="store_true",
+                    help="score the live (non-averaged) weights of an "
+                         "EMA-trained checkpoint")
 
     # predict
     pp = sub.add_parser("predict", help="segment a case directory")
@@ -165,6 +174,9 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the prediction "
                          "into DIR")
+    pp.add_argument("--no_ema", action="store_true",
+                    help="serve the live (non-averaged) weights of an "
+                         "EMA-trained checkpoint")
 
     # serve: resident predictor over a directory of cases
     ps = sub.add_parser(
@@ -208,6 +220,9 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--profile_steps", type=int, default=None,
                     help="number of cases the serve trace covers "
                          "(default: config.profile_steps)")
+    ps.add_argument("--no_ema", action="store_true",
+                    help="serve the live (non-averaged) weights of an "
+                         "EMA-trained checkpoint")
 
     # export: our checkpoint → reference-compatible torch .pth
     pe = sub.add_parser(
@@ -220,6 +235,9 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--output", required=True,
                     help="destination .pth path ({'model_state_dict': ...},"
                          " loadable by the reference's validate/predict)")
+    pe.add_argument("--no_ema", action="store_true",
+                    help="export the live (non-averaged) weights of an "
+                         "EMA-trained checkpoint")
 
     # warm-cache: populate the preprocessing cache up front
     pw = sub.add_parser(
@@ -262,6 +280,7 @@ def _config_from_args(args, preset: str = "standard", with_explicit: bool = Fals
         "loss": "loss",
         "scheduler": "scheduler",
         "warmup_epochs": "warmup_epochs",
+        "ema_decay": "ema_decay",
         "threshold": "threshold",
         "surface_tolerance": "surface_dice_tolerance",
         "hausdorff_percentile": "hausdorff_percentile",
@@ -291,6 +310,8 @@ def _config_from_args(args, preset: str = "standard", with_explicit: bool = Fals
         overrides["tta"] = True
     if getattr(args, "surface_metrics", False):
         overrides["surface_metrics"] = True
+    if getattr(args, "no_ema", False):
+        overrides["ema_eval"] = False
     config = get_config(preset, **overrides)
     if with_explicit:
         return config, frozenset(overrides)

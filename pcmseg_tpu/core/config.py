@@ -109,6 +109,16 @@ class Config:
     early_stopping: bool = True
     patience: int = 15
 
+    # EMA (Polyak) weight averaging — beyond-reference. ema_decay > 0
+    # keeps an exponential moving average of the params, updated inside
+    # the jitted train step (one fused elementwise pass; measured cost in
+    # BENCH.md) with tf-style warmup min(decay, (1+t)/(10+t)) so early
+    # epochs aren't anchored to the random init. Validation, 'best'
+    # selection, checkpoints, and serving then use the averaged weights
+    # (ema_eval=False keeps evaluating the live weights instead). 0 = off.
+    ema_decay: float = 0.0
+    ema_eval: bool = True
+
     # cross validation
     n_splits: int = 5
     stratified: bool = False  # reserved; reference's flag was decorative
@@ -254,6 +264,10 @@ class Config:
             raise ValueError(
                 f"window_blend={self.window_blend!r}; "
                 "expected 'gaussian' or 'uniform'"
+            )
+        if not 0.0 <= self.ema_decay < 1.0:
+            raise ValueError(
+                f"ema_decay={self.ema_decay}; expected 0 (off) or [0,1)"
             )
         if self.n_modalities != len(self.modalities):
             # keep them coherent — modalities list wins

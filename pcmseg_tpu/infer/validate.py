@@ -39,6 +39,10 @@ _ARCH_KEYS = (
     "norm_layer",
     "group_norm_groups",
     "modalities",
+    # not architecture, but state-tree structure: an EMA-trained
+    # checkpoint contains an ema_params subtree the Orbax template must
+    # expect (train/checkpoints.py)
+    "ema_decay",
 )
 _PREP_KEYS = ("normalize", "norm_percentiles", "target_size")
 
@@ -140,6 +144,14 @@ def load_model_state(config: Config, checkpoint_path: str):
         state = state.replace(**replaced)
     else:
         state, _ = load_checkpoint(checkpoint_path, state)
+        if getattr(state, "ema_params", None) and getattr(
+            config, "ema_eval", True
+        ):
+            # serve the averaged weights — they are what training's
+            # validation monitored and what 'best' was selected on.
+            # Swapping here propagates EMA to every consumer (Validator,
+            # Predictor, fold ensembles, BN folding, torch export).
+            state = state.replace(params=state.ema_params)
     return model, state
 
 

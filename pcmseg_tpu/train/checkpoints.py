@@ -24,6 +24,7 @@ import shutil
 from typing import Any, Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -81,6 +82,10 @@ def save_checkpoint(
             "batch_stats": state.batch_stats,
             "step": state.step,
         }
+        # EMA params ride along only when enabled (ema_decay>0) so that
+        # non-EMA checkpoints keep the pre-EMA on-disk structure
+        if getattr(state, "ema_params", None):
+            tree["ema_params"] = state.ema_params
         ckptr.save(os.path.join(payload, "state"), tree)
 
     if primary:
@@ -226,14 +231,37 @@ def load_checkpoint(path: str, state_template) -> Tuple[Any, Dict[str, Any]]:
         "batch_stats": state_template.batch_stats,
         "step": state_template.step,
     }
+    want_ema = bool(getattr(state_template, "ema_params", None))
+    if want_ema:
+        template["ema_params"] = state_template.ema_params
     with ocp.StandardCheckpointer() as ckptr:
-        tree = ckptr.restore(state_path, template)
+        try:
+            tree = ckptr.restore(state_path, template)
+        except Exception:
+            # structure mismatch on the optional ema_params subtree: a
+            # resume/load whose config flipped ema_decay relative to the
+            # checkpoint. Retry with the opposite template and reconcile
+            # below (checkpoint-without-ema + ema template: EMA restarts
+            # from the restored params; checkpoint-with-ema + plain
+            # template: the EMA subtree is dropped).
+            if want_ema:
+                template.pop("ema_params")
+            else:
+                template["ema_params"] = jax.tree.map(
+                    np.asarray, jax.device_get(state_template.params)
+                )
+            tree = ckptr.restore(state_path, template)
 
+    ema = tree.get("ema_params", {}) if want_ema else {}
+    if want_ema and not ema:
+        # fresh buffers, not aliases: params leaves may be donated later
+        ema = jax.tree.map(jnp.copy, tree["params"])
     state = state_template.replace(
         params=tree["params"],
         opt_state=tree["opt_state"],
         batch_stats=tree["batch_stats"],
         step=tree["step"],
+        ema_params=ema,
     )
     meta_file = os.path.join(path, "meta.json")
     meta = {}

@@ -40,9 +40,11 @@ from pcmseg_tpu.ops.metrics import EPS
 
 
 class TrainState(train_state.TrainState):
-    """Flax TrainState extended with BatchNorm running statistics."""
+    """Flax TrainState extended with BatchNorm running statistics and an
+    optional EMA (Polyak average) of the params ({} when ema_decay=0)."""
 
     batch_stats: Any = struct.field(default_factory=dict)
+    ema_params: Any = struct.field(default_factory=dict)
 
 
 def _adam_chain(
@@ -126,10 +128,19 @@ def create_train_state(
 
     model = model or UNet3D.from_config(config)
     variables = model.init_variables(rng, input_shape)
+    params = variables["params"]
+    # EMA starts as a COPY of the init params (fresh buffers: with state
+    # donation, aliased leaves would be donated twice on the first step)
+    ema = (
+        jax.tree.map(jnp.copy, params)
+        if getattr(config, "ema_decay", 0.0) > 0
+        else {}
+    )
     return TrainState.create(
         apply_fn=model.apply,
-        params=variables["params"],
+        params=params,
         batch_stats=variables.get("batch_stats", {}),
+        ema_params=ema,
         tx=make_optimizer(config),
     )
 
@@ -174,6 +185,7 @@ def make_train_step(
     )
     has_bn = model.norm_layer == "batch"
     accum = max(1, int(getattr(config, "accum_steps", 1)))
+    ema_decay = float(getattr(config, "ema_decay", 0.0))
 
     def loss_of(params, batch_stats, images, labels, weight):
         variables = {"params": params}
@@ -241,6 +253,20 @@ def make_train_step(
             loss = loss_sum / accum
 
         new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        if ema_decay > 0:
+            # Polyak average, fused into the step (one elementwise pass
+            # over the param tree). tf.train.ExponentialMovingAverage-style
+            # warmup: early steps average faster so the EMA isn't anchored
+            # to the random init for its first 1/(1-decay) steps.
+            t = new_state.step.astype(jnp.float32)
+            d = jnp.minimum(ema_decay, (1.0 + t) / (10.0 + t))
+            new_state = new_state.replace(
+                ema_params=jax.tree.map(
+                    lambda e, p: d * e + (1.0 - d) * p,
+                    state.ema_params,
+                    new_state.params,
+                )
+            )
         metrics = {
             "loss": loss,
             "grad_norm": optax.global_norm(grads),
@@ -276,12 +302,19 @@ def make_eval_step(
     )
     has_bn = model.norm_layer == "batch"
     threshold = config.threshold
+    # when EMA is on (and ema_eval not opted out), validation scores the
+    # averaged weights — they are what 'best' selection and serving use
+    use_ema = (
+        float(getattr(config, "ema_decay", 0.0)) > 0
+        and bool(getattr(config, "ema_eval", True))
+    )
 
     def eval_step(state: TrainState, batch):
         images = batch["image"]
         labels = batch["label"]
         weight = batch.get("weight")
-        variables = {"params": state.params}
+        params = state.ema_params if use_ema else state.params
+        variables = {"params": params}
         if has_bn:
             variables["batch_stats"] = state.batch_stats
         logits = state.apply_fn(variables, images, train=False)
