@@ -106,6 +106,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "(e.g. 0.999) updated inside the train step; "
                          "validation, 'best' selection, and serving use "
                          "the averaged weights. 0 (default) disables")
+    pt.add_argument("--deep_supervision", action="store_true",
+                    help="nnU-Net-style deep supervision: auxiliary "
+                         "1x1x1 heads on the 1/2, 1/4, 1/8 decoder levels, "
+                         "loss applied at every scale (geometric weights). "
+                         "Inference speed is unchanged")
     pt.add_argument("--interactive", action="store_true",
                     help="prompt for training mode (reference "
                          "train_bph_optimized.py:509-522 parity shim)")
@@ -312,6 +317,8 @@ def _config_from_args(args, preset: str = "standard", with_explicit: bool = Fals
         overrides["surface_metrics"] = True
     if getattr(args, "no_ema", False):
         overrides["ema_eval"] = False
+    if getattr(args, "deep_supervision", False):
+        overrides["deep_supervision"] = True
     config = get_config(preset, **overrides)
     if with_explicit:
         return config, frozenset(overrides)

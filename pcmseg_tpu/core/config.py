@@ -135,6 +135,12 @@ class Config:
     base_features: int = 64
     norm_layer: str = "batch"  # 'batch' | 'group'
     group_norm_groups: int = 8
+    # deep supervision (beyond-reference, nnU-Net-style): 1×1×1 aux heads
+    # on the 1/2, 1/4, 1/8 decoder levels; the train step applies the loss
+    # at every scale with geometric weights (train/steps.py DS_WEIGHTS).
+    # Inference graphs are unchanged — the aux outputs are dead code XLA
+    # eliminates when train=False.
+    deep_supervision: bool = False
 
     # ---- loss -------------------------------------------------------------
     loss: str = "dice"  # all reference trainers use plain DiceLoss

@@ -43,6 +43,10 @@ _ARCH_KEYS = (
     # checkpoint contains an ema_params subtree the Orbax template must
     # expect (train/checkpoints.py)
     "ema_decay",
+    # likewise: a --deep_supervision checkpoint carries ds{1..3} aux-head
+    # params (models/unet3d.py) the restore template must include, even
+    # though inference never runs them
+    "deep_supervision",
 )
 _PREP_KEYS = ("normalize", "norm_percentiles", "target_size")
 

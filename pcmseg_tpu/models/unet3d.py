@@ -403,6 +403,13 @@ class UNet3D(nn.Module):
     remat: bool = True
     use_pallas: bool = False  # fused Pallas convs on the folded serving path
     conv_lowering: str = "auto"  # training-path conv lowering (ops/im2col.py)
+    # deep supervision (beyond-reference, nnU-Net-style): 1×1×1 aux heads
+    # on the three coarser decoder levels; train=True then returns
+    # (logits, [aux_1/2, aux_1/4, aux_1/8]) and the train step applies the
+    # loss at every scale (train/steps.py DS_WEIGHTS). Inference returns
+    # plain logits — the aux heads are parameterized but their outputs are
+    # dead code XLA eliminates, so serving graphs and speed are unchanged.
+    deep_supervision: bool = False
 
     def _block_kwargs(self):
         return dict(
@@ -442,9 +449,26 @@ class UNet3D(nn.Module):
         x4 = down_cls(f * 8, name="down3", **kw)(x3, train)
         x5 = down_cls(f * 16, name="down4", **kw)(x4, train)
 
+        def aux_head(feat, idx):
+            return nn.Conv(
+                self.n_classes,
+                kernel_size=(1, 1, 1),
+                kernel_init=kaiming_fan_out,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"ds{idx}",
+            )(feat).astype(jnp.float32)
+
+        aux = []
         x = up_cls(f * 8, name="up1", **kw)(x5, x4, train)
+        if self.deep_supervision:
+            aux.append(aux_head(x, 1))  # 1/8 resolution
         x = up_cls(f * 4, name="up2", **kw)(x, x3, train)
+        if self.deep_supervision:
+            aux.append(aux_head(x, 2))  # 1/4 resolution
         x = up_cls(f * 2, name="up3", **kw)(x, x2, train)
+        if self.deep_supervision:
+            aux.append(aux_head(x, 3))  # 1/2 resolution
         x = up_cls(f, name="up4", **kw)(x, x1, train)
 
         logits = nn.Conv(
@@ -454,8 +478,11 @@ class UNet3D(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="outc",
-        )(x)
-        return logits.astype(jnp.float32)
+        )(x).astype(jnp.float32)
+        if self.deep_supervision and train:
+            # fine -> coarse, matching train/steps.py's DS_WEIGHTS order
+            return logits, aux[::-1]
+        return logits
 
     def predict(self, x):
         """Sigmoid probabilities (reference models/unet3d.py:298-318)."""
@@ -479,6 +506,7 @@ class UNet3D(nn.Module):
             param_dtype=jnp.dtype(config.param_dtype),
             remat=config.remat,
             conv_lowering=getattr(config, "conv_lowering", "auto"),
+            deep_supervision=getattr(config, "deep_supervision", False),
         )
 
     def init_variables(self, rng, input_shape: Tuple[int, ...] = None):

@@ -39,6 +39,13 @@ from pcmseg_tpu.ops.losses import make_loss_fn
 from pcmseg_tpu.ops.metrics import EPS
 
 
+# Deep-supervision loss weights, full-res first then the 1/2, 1/4, 1/8
+# aux heads (models/unet3d.py deep_supervision=True). Geometric halving
+# normalized to sum to 1 — nnU-Net's scheme — so the reported loss stays
+# on the same scale as single-output training.
+DS_WEIGHTS = (8 / 15, 4 / 15, 2 / 15, 1 / 15)
+
+
 class TrainState(train_state.TrainState):
     """Flax TrainState extended with BatchNorm running statistics and an
     optional EMA (Polyak average) of the params ({} when ema_decay=0)."""
@@ -186,19 +193,34 @@ def make_train_step(
     has_bn = model.norm_layer == "batch"
     accum = max(1, int(getattr(config, "accum_steps", 1)))
     ema_decay = float(getattr(config, "ema_decay", 0.0))
+    deep_supervision = bool(getattr(model, "deep_supervision", False))
+
+    def multiscale_loss(outputs, labels, weight):
+        """Deep-supervision objective: the loss at every decoder scale,
+        geometrically weighted fine -> coarse (nnU-Net's scheme), labels
+        nearest-downsampled per scale by align_labels. ``outputs`` is
+        (full_res, aux_1/2, aux_1/4, aux_1/8)."""
+        total = 0.0
+        for w, out in zip(DS_WEIGHTS, outputs):
+            total = total + w * loss_fn(out, align_labels(out, labels), weight)
+        return total
 
     def loss_of(params, batch_stats, images, labels, weight):
         variables = {"params": params}
         if has_bn:
             variables["batch_stats"] = batch_stats
-            logits, mut = model.apply(
+            out, mut = model.apply(
                 variables, images, train=True, mutable=["batch_stats"]
             )
             new_stats = mut["batch_stats"]
         else:
-            logits = model.apply(variables, images, train=True)
+            out = model.apply(variables, images, train=True)
             new_stats = batch_stats
-        loss = loss_fn(logits, align_labels(logits, labels), weight)
+        if deep_supervision:
+            logits, aux = out
+            loss = multiscale_loss((logits, *aux), labels, weight)
+        else:
+            loss = loss_fn(out, align_labels(out, labels), weight)
         return loss, new_stats
 
     grad_fn = jax.value_and_grad(loss_of, has_aux=True)

@@ -393,3 +393,65 @@ def test_cross_validation_resume_skips_completed_folds(data_root, tmp_path):
     assert hist1_new["train_loss"][0] == full_hist1["train_loss"][0]
     assert results2["summary"]["total_folds"] == 2
     assert os.path.exists(os.path.join(save_dir, "cv_results.json"))
+
+
+def test_deep_supervision_full_lifecycle(data_root, tmp_path):
+    """A --deep_supervision run flows through the whole product surface:
+    its checkpoint validates (config auto-adoption rebuilds the DS model),
+    predicts through the BN-folded serving path (aux heads are dead
+    weight), and exports to a reference-layout .pth with the ds{i} heads
+    stripped — the reference class has no DS, so the exported state_dict
+    must carry exactly the non-DS keys."""
+    from pcmseg_tpu.infer.validate import Validator
+    from pcmseg_tpu.train.checkpoints import params_to_torch_state_dict
+    from pcmseg_tpu.train.trainer import Trainer
+
+    save_dir = str(tmp_path / "ds_ckpt")
+    config = tiny_config(data_root, save_dir, deep_supervision=True)
+    trainer = Trainer(config)
+    history = trainer.train()
+    assert np.isfinite(history["train_loss"]).all()
+
+    # validate: loads the checkpoint's own config snapshot (DS on) and
+    # must restore the params tree including the ds{i} heads
+    v = Validator(config, os.path.join(save_dir, "best"))
+    results = v.validate()
+    assert results["case_count"] == N_CASES
+    assert 0.0 <= results["avg_dice"] <= 1.0
+
+    # predict: the folded serving model is built without DS; the extra
+    # ds{i} param subtrees must be inert, not fatal
+    from pcmseg_tpu.infer.predict import Predictor
+
+    case_dir = str(tmp_path / "case000")
+    for m in config.modalities:
+        os.makedirs(os.path.join(case_dir, m))
+        import shutil
+
+        shutil.copy(
+            os.path.join(data_root, "BPH-PCA", "BPH", m, "case000.nii.gz"),
+            os.path.join(case_dir, m, "image.nii.gz"),
+        )
+    predictor = Predictor(config, os.path.join(save_dir, "best"))
+    out_path = str(tmp_path / "pred" / "seg.nii.gz")
+    predictor.predict_and_save(case_dir, out_path)
+    assert os.path.exists(out_path)
+
+    # export: ds{i} heads are dropped so the .pth stays strict-loadable
+    # into the reference class (train/checkpoints.py walks named entries)
+    state = trainer.state
+    sd = params_to_torch_state_dict(state.params, state.batch_stats)
+    assert not any("ds" in k for k in sd)
+    # identical key set to a DS-off export of the same architecture
+    config_plain = tiny_config(data_root, str(tmp_path / "plain"))
+    from pcmseg_tpu.models import UNet3D
+    from pcmseg_tpu.train.steps import create_train_state
+
+    import jax
+
+    plain = create_train_state(
+        config_plain, jax.random.key(0), UNet3D.from_config(config_plain),
+        (1, 16, 16, 16, 5),
+    )
+    sd_plain = params_to_torch_state_dict(plain.params, plain.batch_stats)
+    assert set(sd) == set(sd_plain)

@@ -321,3 +321,54 @@ def test_gradient_accumulation_divisibility_check():
     step = make_train_step(model, config)
     with pytest.raises(ValueError):
         step(state, blob_batch(jax.random.key(1), n=4))
+
+
+def test_deep_supervision_output_structure():
+    """train=True returns (logits, [aux_1/2, aux_1/4, aux_1/8]); inference
+    returns a plain full-res array (aux heads are dead code)."""
+    config = tiny_config(deep_supervision=True)
+    model = UNet3D.from_config(config)
+    assert model.deep_supervision
+    variables = model.init_variables(jax.random.key(0), (1, 16, 16, 16, 5))
+    for i in (1, 2, 3):
+        assert f"ds{i}" in variables["params"], "aux head params missing"
+    out, _ = model.apply(
+        variables, jnp.zeros((1, 16, 16, 16, 5)), train=True,
+        mutable=["batch_stats"],
+    )
+    logits, aux = out
+    assert logits.shape == (1, 16, 16, 16, 1)
+    assert [a.shape[1] for a in aux] == [8, 4, 2]  # fine -> coarse
+    infer = model.apply(variables, jnp.zeros((1, 16, 16, 16, 5)), train=False)
+    assert infer.shape == (1, 16, 16, 16, 1)  # plain array, not a tuple
+
+
+def test_deep_supervision_train_step_learns_and_flows_grads():
+    config = tiny_config(deep_supervision=True, learning_rate=1e-2)
+    model = UNet3D.from_config(config)
+    state = create_train_state(config, jax.random.key(0), model, (2, 16, 16, 16, 5))
+    step = jit_train_step(make_train_step(model, config), donate=False)
+    batch = blob_batch(jax.random.key(1))
+    losses = []
+    ds_before = jax.tree.map(np.asarray, state.params["ds1"])
+    for _ in range(20):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.85, losses[:3] + losses[-3:]
+    # the aux heads receive gradient (they'd be untouched if the multi-scale
+    # loss weren't wired through DS_WEIGHTS)
+    ds_after = jax.tree.map(np.asarray, state.params["ds1"])
+    assert not np.allclose(ds_before["kernel"], ds_after["kernel"])
+
+
+def test_deep_supervision_eval_step_unchanged():
+    """Eval runs train=False so the DS model evaluates exactly like a plain
+    one with the same trunk weights."""
+    config = tiny_config(deep_supervision=True)
+    model = UNet3D.from_config(config)
+    state = create_train_state(config, jax.random.key(0), model, (2, 16, 16, 16, 5))
+    estep = jit_eval_step(make_eval_step(model, config))
+    m = estep(state, blob_batch(jax.random.key(2), n=2))
+    assert m["dice"].shape == (2,)
+    assert np.isfinite(float(m["loss"]))

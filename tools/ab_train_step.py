@@ -48,6 +48,13 @@ def run_variant(lowering, size, batch, steps, accum, remat):
             i2c._orig_should_use_im2col(spatial, cin, cout) or cin <= 8
         )
         lowering = "auto"
+    deep_supervision = False
+    if lowering == "ds":
+        # production auto lowering + nnU-Net-style deep supervision
+        # (models/unet3d.py deep_supervision=True): measures what the three
+        # aux heads + multi-scale loss cost the flagship step
+        deep_supervision = True
+        lowering = "auto"
     if lowering == "i2cwide":
         # candidate arm (round 3): auto + depth-chunked im2col at the wide
         # 128^3 convs (64->64, 128->64) — lax runs them at 15% MFU
@@ -93,6 +100,7 @@ def run_variant(lowering, size, batch, steps, accum, remat):
         compute_dtype="bfloat16",
         remat=remat,
         conv_lowering=lowering,
+        deep_supervision=deep_supervision,
     )
     model = UNet3D.from_config(config)
     state = create_train_state(
