@@ -20,6 +20,19 @@ from typing import List, Optional
 from pcmseg_tpu.core.config import Config, PRESETS, get_config
 
 
+def _add_postprocess_flags(p: argparse.ArgumentParser) -> None:
+    # connected-component mask filtering (infer/postprocess.py); on
+    # validate the filtered masks are what gets scored, so the filter's
+    # Dice effect is measurable before it's turned on in serving
+    p.add_argument("--postprocess", choices=["none", "largest_cc"],
+                   default=None,
+                   help="filter thresholded masks: largest_cc keeps only "
+                        "the largest foreground component (nnU-Net-style)")
+    p.add_argument("--min_component_voxels", type=int, default=None,
+                   help="drop mask components smaller than this many "
+                        "voxels (0 disables; composes with --postprocess)")
+
+
 def _add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--data_dir", default="data", help="data root directory")
     p.add_argument("--data_type", choices=["BPH", "PCA"], default="BPH")
@@ -150,6 +163,7 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--no_ema", action="store_true",
                     help="score the live (non-averaged) weights of an "
                          "EMA-trained checkpoint")
+    _add_postprocess_flags(pv)
 
     # predict
     pp = sub.add_parser("predict", help="segment a case directory")
@@ -182,6 +196,7 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--no_ema", action="store_true",
                     help="serve the live (non-averaged) weights of an "
                          "EMA-trained checkpoint")
+    _add_postprocess_flags(pp)
 
     # serve: resident predictor over a directory of cases
     ps = sub.add_parser(
@@ -228,6 +243,7 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--no_ema", action="store_true",
                     help="serve the live (non-averaged) weights of an "
                          "EMA-trained checkpoint")
+    _add_postprocess_flags(ps)
 
     # export: our checkpoint → reference-compatible torch .pth
     pe = sub.add_parser(
@@ -293,6 +309,8 @@ def _config_from_args(args, preset: str = "standard", with_explicit: bool = Fals
         "window_blend": "window_blend",
         "profile": "profile_dir",
         "profile_steps": "profile_steps",
+        "postprocess": "postprocess",
+        "min_component_voxels": "min_component_voxels",
     }
     overrides = {}
     for arg_name, cfg_name in mapping.items():

@@ -217,6 +217,14 @@ class Config:
     # test-time augmentation: 8-way axis-flip mirror ensemble at predict
     # time (8× inference compute for better Dice) — infer/tta.py
     tta: bool = False
+    # connected-component filtering of thresholded masks
+    # (infer/postprocess.py, nnU-Net-style; beyond-reference): 'largest_cc'
+    # keeps only the largest foreground component; min_component_voxels
+    # drops speckle below that count. Applies to predict/serve outputs and,
+    # when set on validate, to the scored masks (so its Dice effect is
+    # measurable).
+    postprocess: str = "none"  # 'none' | 'largest_cc'
+    min_component_voxels: int = 0
     sliding_window: bool = False  # full-volume overlap-tiled inference
     window_size: Tuple[int, int, int] = (128, 128, 128)
     window_overlap: float = 0.5
@@ -270,6 +278,11 @@ class Config:
             raise ValueError(
                 f"window_blend={self.window_blend!r}; "
                 "expected 'gaussian' or 'uniform'"
+            )
+        if self.postprocess not in ("none", "largest_cc"):
+            raise ValueError(
+                f"postprocess={self.postprocess!r}; "
+                "expected 'none' or 'largest_cc'"
             )
         if not 0.0 <= self.ema_decay < 1.0:
             raise ValueError(

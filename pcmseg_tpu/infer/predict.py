@@ -372,7 +372,10 @@ class Predictor:
         """
         threshold = self.config.threshold if threshold is None else threshold
         probs = self._predict_probs_device(image)
-        return np.asarray((probs[..., 0] > threshold).astype(jnp.uint8))
+        mask = np.asarray((probs[..., 0] > threshold).astype(jnp.uint8))
+        from pcmseg_tpu.infer.postprocess import postprocess_from_config
+
+        return postprocess_from_config(mask, self.config)
 
     def _cast_wire(self, image: np.ndarray) -> np.ndarray:
         # bf16 on the wire — only when the net computes in bf16 (it then
@@ -490,6 +493,9 @@ class Predictor:
         """Threshold → uint8 mask → NIfTI/MHA with copied spatial metadata."""
         threshold = self.config.threshold if threshold is None else threshold
         mask = (probs[..., 0] > threshold).astype(np.uint8)
+        from pcmseg_tpu.infer.postprocess import postprocess_from_config
+
+        mask = postprocess_from_config(mask, self.config)
         return self.save_mask(mask, reference, output_path)
 
     def save_mask(

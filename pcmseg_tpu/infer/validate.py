@@ -207,9 +207,31 @@ class Validator:
             from pcmseg_tpu.infer.predict import Predictor
 
             self._ensemble = Predictor(config, self._paths, explicit=explicit)
-        self._eval_step = jit_eval_step(
-            make_eval_step(self.model, config, return_pred=config.surface_metrics)
+        # postprocessing (infer/postprocess.py) rescoring needs the masks
+        # on the host even when surface metrics don't
+        self._postprocess = (
+            config.postprocess != "none" or config.min_component_voxels > 0
         )
+        self._eval_step = jit_eval_step(
+            make_eval_step(
+                self.model, config,
+                return_pred=config.surface_metrics or self._postprocess,
+            )
+        )
+
+    def _host_rescore(self, masks: np.ndarray, labels) -> tuple:
+        """Per-sample Dice/IoU from host uint8 masks (the reference's
+        validate_model.py:24-95 formulas, eps 1e-8)."""
+        from pcmseg_tpu.ops.metrics import EPS
+
+        n = masks.shape[0]
+        p = masks.astype(np.float32).reshape(n, -1)
+        t = np.asarray(labels, np.float32).reshape(n, -1)
+        inter = (p * t).sum(axis=1)
+        psum, tsum = p.sum(axis=1), t.sum(axis=1)
+        dice = (2.0 * inter) / (psum + tsum + EPS)
+        iou = inter / (psum + tsum - inter + EPS)
+        return dice.tolist(), iou.tolist()
 
     def _batch_scores(self, batch) -> tuple:
         """Per-sample (dice, iou, masks) at ``config.threshold``.
@@ -217,28 +239,35 @@ class Validator:
         Single model: the jitted eval step. Ensemble: the Predictor's
         fold-averaged probabilities, scored with the same per-sample
         formulas (steps.make_eval_step / reference validate_model.py:24-95).
-        ``masks`` is the uint8 thresholded prediction (only materialized
-        when ``surface_metrics`` asked for it, else None)."""
+        With ``config.postprocess`` active the masks are component-filtered
+        and rescored on the host, so the filter's Dice effect is what gets
+        reported. ``masks`` is the uint8 prediction (only materialized when
+        ``surface_metrics`` asked for it, else None)."""
         if self._ensemble is None:
             m = self._eval_step(
                 self.state, {"image": batch["image"], "label": batch["label"]}
             )
             masks = np.asarray(m["pred"]) if "pred" in m else None
-            return np.asarray(m["dice"]).tolist(), np.asarray(m["iou"]).tolist(), masks
-        from pcmseg_tpu.ops.metrics import EPS
+            if not self._postprocess:
+                return (
+                    np.asarray(m["dice"]).tolist(),
+                    np.asarray(m["iou"]).tolist(),
+                    masks,
+                )
+        else:
+            probs = self._ensemble.predict_probs_batch(batch["image"])
+            masks = (probs > self.config.threshold).astype(np.uint8)
+        if self._postprocess:
+            from pcmseg_tpu.infer.postprocess import postprocess_from_config
 
-        probs = self._ensemble.predict_probs_batch(batch["image"])
-        n = probs.shape[0]
-        masks = (probs > self.config.threshold).astype(np.uint8)
-        p = masks.astype(np.float32).reshape(n, -1)
-        t = np.asarray(batch["label"], np.float32).reshape(n, -1)
-        inter = (p * t).sum(axis=1)
-        psum, tsum = p.sum(axis=1), t.sum(axis=1)
-        dice = (2.0 * inter) / (psum + tsum + EPS)
-        iou = inter / (psum + tsum - inter + EPS)
+            masks = np.stack([
+                postprocess_from_config(mk[..., 0], self.config)[..., None]
+                for mk in masks
+            ])
+        dice, iou = self._host_rescore(masks, batch["label"])
         if not self.config.surface_metrics:
             masks = None
-        return dice.tolist(), iou.tolist(), masks
+        return dice, iou, masks
 
     def _case_surface(self, mask, label, spacing) -> Dict:
         """Boundary metrics for one case; JSON-safe (inf -> None)."""

