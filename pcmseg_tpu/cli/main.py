@@ -119,6 +119,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "(e.g. 0.999) updated inside the train step; "
                          "validation, 'best' selection, and serving use "
                          "the averaged weights. 0 (default) disables")
+    pt.add_argument("--train_crop", type=int, nargs=3, default=None,
+                    metavar=("D", "H", "W"),
+                    help="train on random crops of this size from the "
+                         "target_size volumes (nnU-Net-style patch "
+                         "sampling; ~(crop/target)^3 lighter steps). "
+                         "Validation and serving stay full-size")
     pt.add_argument("--deep_supervision", action="store_true",
                     help="nnU-Net-style deep supervision: auxiliary "
                          "1x1x1 heads on the 1/2, 1/4, 1/8 decoder levels, "
@@ -323,6 +329,8 @@ def _config_from_args(args, preset: str = "standard", with_explicit: bool = Fals
         overrides["target_size"] = tuple(args.target_size)
     if getattr(args, "window_size", None) is not None:
         overrides["window_size"] = tuple(args.window_size)
+    if getattr(args, "train_crop", None) is not None:
+        overrides["train_crop"] = tuple(args.train_crop)
     if getattr(args, "no_validation", False):
         overrides["validation"] = False
     if getattr(args, "resume", False):

@@ -34,6 +34,11 @@ DEFAULT_MODALITIES: Tuple[str, ...] = (
 
 MISSING_STRATEGIES = ("zero_fill", "skip", "duplicate")
 NORMALIZE_MODES = ("percentile", "minmax", "zscore", "none")
+# smallest legal model input per spatial dim: the 4-level U-Net halves
+# each dim four times (2^4), so anything smaller floors to an EMPTY
+# bottleneck tensor (torch errors; here BatchNorm over zero elements
+# yields NaN *gradients* while the forward stays finite — worse).
+MIN_INPUT_SIZE = 16
 LOSSES = ("dice", "bce_dice", "tversky", "focal", "focal_dice")
 NORM_LAYERS = ("batch", "group", "none")
 
@@ -128,6 +133,14 @@ class Config:
     aug_flip: bool = True
     aug_rot90: bool = True
     aug_intensity_jitter: float = 0.1
+    # patch training (beyond-reference, nnU-Net-style): train on random
+    # (D,H,W) crops of the target_size volumes — an aggressive spatial
+    # regularizer that also cuts per-step FLOPs/memory ~(crop/target)³,
+    # e.g. 64³ crops of 128³ volumes are an 8× lighter step. Validation
+    # and serving stay at full size (the net is fully convolutional).
+    # Device-cached runs crop on the TPU inside the jitted step
+    # (data/device_cache.py), streamed runs on the host (data/augment.py).
+    train_crop: Optional[Tuple[int, int, int]] = None
 
     # ---- model ------------------------------------------------------------
     n_modalities: int = 5
@@ -239,6 +252,34 @@ class Config:
         self.modalities = tuple(self.modalities)
         self.target_size = tuple(self.target_size)
         self.window_size = tuple(self.window_size)
+        for name in ("target_size", "window_size"):
+            dims = getattr(self, name)
+            if any(s < MIN_INPUT_SIZE for s in dims):
+                raise ValueError(
+                    f"{name}={dims}: every dim must be >= {MIN_INPUT_SIZE} — "
+                    f"the 4-level U-Net halves each spatial dim four times, "
+                    f"and below {MIN_INPUT_SIZE} the bottleneck becomes an "
+                    f"empty tensor (BatchNorm over zero elements -> NaN "
+                    f"gradients)"
+                )
+        if self.train_crop is not None:
+            self.train_crop = tuple(self.train_crop)
+            if len(self.train_crop) != 3:
+                raise ValueError(
+                    f"train_crop must be (D,H,W), got {self.train_crop}"
+                )
+            if any(
+                not MIN_INPUT_SIZE <= c <= t
+                for c, t in zip(self.train_crop, self.target_size)
+            ):
+                raise ValueError(
+                    f"train_crop {self.train_crop} must be within "
+                    f"target_size {self.target_size} and every dim at "
+                    f"least {MIN_INPUT_SIZE} (the model's minimum input: "
+                    f"four 2x poolings)"
+                )
+            if self.train_crop == self.target_size:
+                self.train_crop = None  # full-size crop is a no-op
         self.betas = tuple(self.betas)
         self.norm_percentiles = tuple(self.norm_percentiles)
         if self.missing_strategy not in MISSING_STRATEGIES:

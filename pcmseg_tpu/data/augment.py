@@ -59,6 +59,26 @@ def augment_sample(
     )
 
 
+def random_crop(
+    image: np.ndarray,
+    label: np.ndarray,
+    rng: np.random.Generator,
+    crop: Tuple[int, int, int],
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Crop one ((D,H,W,C), (D,H,W,1)) pair to ``crop`` at a shared
+    uniform-random offset (nnU-Net-style patch sampling, config
+    ``train_crop``). No-op when already at or below the crop size."""
+    offsets = [
+        int(rng.integers(0, s - c + 1)) if s > c else 0
+        for s, c in zip(image.shape[:3], crop)
+    ]
+    sl = tuple(slice(o, o + c) for o, c in zip(offsets, crop))
+    return (
+        np.ascontiguousarray(image[sl]),
+        np.ascontiguousarray(label[sl]),
+    )
+
+
 class Augmenter:
     """Deterministic per-(epoch, index) augmentation policy."""
 
@@ -68,19 +88,26 @@ class Augmenter:
         flip: bool = True,
         rot90: bool = True,
         intensity_jitter: float = 0.1,
+        crop: Tuple[int, int, int] = None,
     ):
         self.seed = seed
         self.flip = flip
         self.rot90 = rot90
         self.intensity_jitter = intensity_jitter
+        self.crop = tuple(crop) if crop else None
 
     def __call__(
         self, sample: Dict[str, np.ndarray], epoch: int, index: int
     ) -> Dict[str, np.ndarray]:
         rng = np.random.default_rng((self.seed, epoch, index))
+        image, label = sample["image"], sample["label"]
+        if self.crop is not None:
+            # crop first: the spatial/intensity augs then touch ~(c/t)³
+            # fewer voxels
+            image, label = random_crop(image, label, rng, self.crop)
         image, label = augment_sample(
-            sample["image"],
-            sample["label"],
+            image,
+            label,
             rng,
             flip=self.flip,
             rot90=self.rot90,

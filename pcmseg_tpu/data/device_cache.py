@@ -263,6 +263,37 @@ def device_augment(
     return jax.vmap(one)(images, labels, keys)
 
 
+def device_random_crop(
+    images: jnp.ndarray,
+    labels: jnp.ndarray,
+    key: jax.Array,
+    crop,
+):
+    """Per-sample random (D,H,W) crop of a gathered (B,D,H,W,C) batch —
+    the on-device side of config.train_crop (data/augment.py random_crop
+    is the streamed-loader twin). Offsets are uniform per sample; image
+    and label share them. Static crop shape + traced offsets keep the
+    jitted step shape-stable (one compiled program per crop size)."""
+    b, d, h, w = images.shape[:4]
+    cd, ch, cw = crop
+
+    def one(img, lab, k):
+        kd, kh, kw = jax.random.split(k, 3)
+        od = jax.random.randint(kd, (), 0, d - cd + 1)
+        oh = jax.random.randint(kh, (), 0, h - ch + 1)
+        ow = jax.random.randint(kw, (), 0, w - cw + 1)
+        img = jax.lax.dynamic_slice(
+            img, (od, oh, ow, 0), (cd, ch, cw, img.shape[3])
+        )
+        lab = jax.lax.dynamic_slice(
+            lab, (od, oh, ow, 0), (cd, ch, cw, lab.shape[3])
+        )
+        return img, lab
+
+    keys = jax.random.split(key, b)
+    return jax.vmap(one)(images, labels, keys)
+
+
 def _batch_constraint(mesh):
     """Constrain gathered batches to the training batch sharding (batch
     over 'data', D over 'spatial') so GSPMD reshards the gather output
@@ -284,11 +315,16 @@ def make_cached_train_step(model, config, base_step, mesh=None):
     weights, key) -> (state, metrics) gathering the batch from the
     device-resident stacks inside jit."""
     use_aug = bool(config.data_augmentation)
+    crop = getattr(config, "train_crop", None)
     constrain = _batch_constraint(mesh)
 
     def step(state, images, labels, idx, weights, key):
         img = constrain(jnp.take(images, idx, axis=0))
         lab = constrain(jnp.take(labels, idx, axis=0))
+        if crop is not None:
+            key, kc = jax.random.split(key)
+            img, lab = device_random_crop(img, lab, kc, crop)
+            img, lab = constrain(img), constrain(lab)
         if use_aug:
             img, lab = device_augment(
                 img,

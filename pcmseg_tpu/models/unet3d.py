@@ -428,6 +428,17 @@ class UNet3D(nn.Module):
                 f"expected {self.n_modalities} input channels (NDHWC), "
                 f"got shape {x.shape}"
             )
+        if any(s < 16 for s in x.shape[1:4]):
+            # four 2x max-pools: a dim < 16 floors to an empty bottleneck
+            # tensor. The torch reference errors there; with XLA the
+            # forward silently succeeds but BatchNorm over zero elements
+            # makes the scale GRADIENTS NaN (mean of an empty tensor is
+            # NaN, and NaN*0 backward contributions stay NaN). Caught at
+            # trace time instead (core.config.MIN_INPUT_SIZE).
+            raise ValueError(
+                f"spatial dims {x.shape[1:4]} too small: the 4-level "
+                f"U-Net needs every spatial dim >= 16"
+            )
         f = self.base_features
         kw = self._block_kwargs()
         x = x.astype(self.dtype)

@@ -139,14 +139,20 @@ class Trainer:
         )
 
         augmenter = None
-        if config.data_augmentation:
+        if config.data_augmentation or config.train_crop:
             from pcmseg_tpu.data.augment import Augmenter
 
+            # train_crop alone installs a crop-only augmenter (the
+            # spatial/intensity augs stay gated on data_augmentation)
+            aug_on = config.data_augmentation
             augmenter = Augmenter(
                 seed=config.seed,
-                flip=config.aug_flip,
-                rot90=config.aug_rot90,
-                intensity_jitter=config.aug_intensity_jitter,
+                flip=aug_on and config.aug_flip,
+                rot90=aug_on and config.aug_rot90,
+                intensity_jitter=(
+                    config.aug_intensity_jitter if aug_on else 0.0
+                ),
+                crop=config.train_crop,
             )
         self.train_loader = DataLoader(
             self.dataset,

@@ -80,10 +80,10 @@ def test_validator_with_index_subset(mha_root, tmp_path):
     config = get_config(
         "quick", data_dir=mha_root, save_dir=str(tmp_path),
         base_features=4, remat=False, compute_dtype="float32",
-        target_size=(12, 12, 12), batch_size=2,
+        target_size=(20, 20, 20), batch_size=2,
     )
     model = UNet3D.from_config(config)
-    state = create_train_state(config, jax.random.key(0), model, (1, 12, 12, 12, 5))
+    state = create_train_state(config, jax.random.key(0), model, (1, 20, 20, 20, 5))
     path = save_checkpoint(str(tmp_path), "best", state, {})
 
     v = Validator(config, path, indices=[0, 2])

@@ -1,0 +1,159 @@
+"""Patch training (config.train_crop): host random_crop, on-device
+device_random_crop, config validation, and a tiny end-to-end run."""
+
+import jax
+import numpy as np
+import pytest
+
+from pcmseg_tpu.core.config import get_config
+from pcmseg_tpu.data.augment import Augmenter, random_crop
+from pcmseg_tpu.data.device_cache import device_random_crop
+
+
+def coord_volume(shape=(12, 16, 16)):
+    """Image whose channel 0 encodes the flat voxel coordinate, label
+    encoding the same — so crop alignment is checkable voxel-by-voxel."""
+    d, h, w = shape
+    coords = np.arange(d * h * w, dtype=np.float32).reshape(d, h, w)
+    image = np.stack([coords, coords * 2.0], axis=-1)
+    label = coords[..., None]
+    return image, label
+
+
+def test_host_random_crop_shape_bounds_alignment():
+    image, label = coord_volume()
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        img, lab = random_crop(image, label, rng, (4, 8, 8))
+        assert img.shape == (4, 8, 8, 2)
+        assert lab.shape == (4, 8, 8, 1)
+        # shared offset: label must equal image channel 0 everywhere
+        np.testing.assert_array_equal(lab[..., 0], img[..., 0])
+        # contiguous subcube: coordinate deltas match the parent strides
+        assert img[1, 0, 0, 0] - img[0, 0, 0, 0] == 16 * 16
+        assert img[0, 1, 0, 0] - img[0, 0, 0, 0] == 16
+
+
+def test_host_random_crop_deterministic_and_covers_offsets():
+    image, label = coord_volume()
+    a = random_crop(image, label, np.random.default_rng(7), (4, 8, 8))
+    b = random_crop(image, label, np.random.default_rng(7), (4, 8, 8))
+    np.testing.assert_array_equal(a[0], b[0])
+    # different draws eventually hit different offsets
+    firsts = {
+        float(
+            random_crop(image, label, np.random.default_rng(i), (4, 8, 8))[0][
+                0, 0, 0, 0
+            ]
+        )
+        for i in range(20)
+    }
+    assert len(firsts) > 1
+
+
+def test_augmenter_crop_only_leaves_intensities_alone():
+    image, label = coord_volume()
+    aug = Augmenter(seed=0, flip=False, rot90=False, intensity_jitter=0.0,
+                    crop=(4, 8, 8))
+    out = aug({"image": image, "label": label, "case_id": "x"}, 0, 0)
+    assert out["image"].shape == (4, 8, 8, 2)
+    np.testing.assert_array_equal(out["label"][..., 0], out["image"][..., 0])
+
+
+def test_device_random_crop_alignment_and_variation():
+    image, label = coord_volume()
+    images = np.stack([image, image])  # (2,12,16,16,2)
+    labels = np.stack([label, label])
+    out_i, out_l = device_random_crop(
+        images, labels, jax.random.key(0), (4, 8, 8)
+    )
+    assert out_i.shape == (2, 4, 8, 8, 2)
+    assert out_l.shape == (2, 4, 8, 8, 1)
+    out_i, out_l = np.asarray(out_i), np.asarray(out_l)
+    np.testing.assert_array_equal(out_l[..., 0], out_i[..., 0])
+    for b in range(2):
+        assert out_i[b, 1, 0, 0, 0] - out_i[b, 0, 0, 0, 0] == 16 * 16
+    # per-sample keys: identical inputs generally land on different offsets
+    outs = {
+        float(
+            np.asarray(
+                device_random_crop(
+                    images, labels, jax.random.key(k), (4, 8, 8)
+                )[0]
+            )[0, 0, 0, 0, 0]
+        )
+        for k in range(10)
+    }
+    assert len(outs) > 1
+
+
+def test_config_validation():
+    cfg = get_config("standard", target_size=(32, 32, 32),
+                     train_crop=(16, 16, 16))
+    assert cfg.train_crop == (16, 16, 16)
+    # full-size crop is a no-op and normalizes to None
+    cfg = get_config("standard", target_size=(32, 32, 32),
+                     train_crop=(32, 32, 32))
+    assert cfg.train_crop is None
+    with pytest.raises(ValueError):
+        get_config("standard", target_size=(32, 32, 32),
+                   train_crop=(64, 16, 16))
+    with pytest.raises(ValueError):
+        get_config("standard", train_crop=(16, 16))
+    # below the model's 16-voxel minimum (4 poolings -> empty bottleneck)
+    with pytest.raises(ValueError):
+        get_config("standard", target_size=(32, 32, 32),
+                   train_crop=(8, 16, 16))
+    with pytest.raises(ValueError):
+        get_config("standard", target_size=(12, 32, 32))
+
+
+@pytest.mark.slow
+def test_trainer_with_crop_trains_and_validates_full_size(tmp_path):
+    """Patch-trained runs go through both input paths (the tiny cohort
+    fits the device cache, so the crop happens in the jitted step) and
+    still validate at full target_size."""
+    from pcmseg_tpu.data.synthetic import make_synthetic_dataset
+    from pcmseg_tpu.train.trainer import Trainer
+
+    root = str(tmp_path / "data")
+    make_synthetic_dataset(root, n_cases=6, shape=(20, 20, 20), seed=5)
+    config = get_config(
+        "standard",
+        data_dir=root,
+        save_dir=str(tmp_path / "ckpt"),
+        base_features=4,
+        remat=False,
+        compute_dtype="float32",
+        target_size=(20, 20, 20),
+        train_crop=(16, 16, 16),
+        batch_size=2,
+        num_epochs=2,
+        val_fraction=0.34,
+        early_stopping=False,
+        save_frequency=0,
+    )
+    trainer = Trainer(config)
+    history = trainer.train()
+    assert np.isfinite(history["train_loss"]).all()
+    assert np.isfinite(history["val_loss"]).all()
+
+    # streamed path too (device cache off -> host Augmenter crops)
+    config2 = get_config(
+        "standard",
+        data_dir=root,
+        save_dir=str(tmp_path / "ckpt2"),
+        base_features=4,
+        remat=False,
+        compute_dtype="float32",
+        target_size=(20, 20, 20),
+        train_crop=(16, 16, 16),
+        batch_size=2,
+        num_epochs=1,
+        val_fraction=0.34,
+        early_stopping=False,
+        save_frequency=0,
+        device_data_cache_gb=0.0,
+    )
+    history2 = Trainer(config2).train()
+    assert np.isfinite(history2["train_loss"]).all()

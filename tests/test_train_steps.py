@@ -87,9 +87,9 @@ def test_set_learning_rate_never_retraces():
     changing it must not change the jit cache key. Regression: the old
     committed-array rebuild flipped an uncommitted leaf to committed,
     which IS a different cache key (one silent full retrace)."""
-    config = tiny_config(target_size=(8, 8, 8))
+    config = tiny_config(target_size=(16, 16, 16))
     model = UNet3D.from_config(config)
-    state = create_train_state(config, jax.random.key(0), model, (1, 8, 8, 8, 5))
+    state = create_train_state(config, jax.random.key(0), model, (1, 16, 16, 16, 5))
 
     @jax.jit
     def probe(s):
