@@ -38,6 +38,10 @@ def main():
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--accum", type=int, default=4)
+    p.add_argument("--train_crop", type=int, default=None, metavar="C",
+                   help="train on C^3 random crops (config.train_crop) — "
+                        "measures nnU-Net-style patch training, e.g. 64 "
+                        "for 64^3 patches of 128^3 cached volumes")
     p.add_argument("--keep", action="store_true")
     args = p.parse_args()
 
@@ -64,6 +68,7 @@ def main():
             validation=False,
             data_augmentation=False,
             remat=args.batch // max(args.accum, 1) > 1,
+            train_crop=(args.train_crop,) * 3 if args.train_crop else None,
         )
         trainer = Trainer(config)
 
@@ -96,7 +101,9 @@ def main():
                 json.dumps(
                     {
                         "metric": "e2e_train_volumes_per_sec (steady-state "
-                                  f"epoch, {args.size}^3, batch {args.batch})",
+                                  f"epoch, {args.size}^3, batch {args.batch}"
+                                  + (f", crop {args.train_crop}^3"
+                                     if args.train_crop else "") + ")",
                         "value": round(steady, 3),
                         "unit": "volumes/sec",
                     }
