@@ -125,6 +125,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "target_size volumes (nnU-Net-style patch "
                          "sampling; ~(crop/target)^3 lighter steps). "
                          "Validation and serving stay full-size")
+    pt.add_argument("--oversample_fg", type=float, default=None,
+                    metavar="P",
+                    help="probability that a --train_crop patch is forced "
+                         "to contain a foreground voxel (nnU-Net uses "
+                         "0.33; uniform crops mostly miss small lesions). "
+                         "Default 0 = uniform crops")
     pt.add_argument("--deep_supervision", action="store_true",
                     help="nnU-Net-style deep supervision: auxiliary "
                          "1x1x1 heads on the 1/2, 1/4, 1/8 decoder levels, "
@@ -308,6 +314,7 @@ def _config_from_args(args, preset: str = "standard", with_explicit: bool = Fals
         "scheduler": "scheduler",
         "warmup_epochs": "warmup_epochs",
         "ema_decay": "ema_decay",
+        "oversample_fg": "oversample_fg",
         "threshold": "threshold",
         "surface_tolerance": "surface_dice_tolerance",
         "hausdorff_percentile": "hausdorff_percentile",

@@ -141,6 +141,11 @@ class Config:
     # Device-cached runs crop on the TPU inside the jitted step
     # (data/device_cache.py), streamed runs on the host (data/augment.py).
     train_crop: Optional[Tuple[int, int, int]] = None
+    # probability that a training crop is forced to contain a foreground
+    # voxel (nnU-Net oversamples lesion patches at 1/3 — uniform crops
+    # mostly miss small lesions). Only acts with train_crop set; empty
+    # labels fall back to uniform offsets.
+    oversample_fg: float = 0.0
 
     # ---- model ------------------------------------------------------------
     n_modalities: int = 5
@@ -280,6 +285,11 @@ class Config:
                 )
             if self.train_crop == self.target_size:
                 self.train_crop = None  # full-size crop is a no-op
+        if not 0.0 <= self.oversample_fg <= 1.0:
+            raise ValueError(
+                f"oversample_fg={self.oversample_fg} must be in [0, 1] "
+                f"(probability that a train_crop contains foreground)"
+            )
         self.betas = tuple(self.betas)
         self.norm_percentiles = tuple(self.norm_percentiles)
         if self.missing_strategy not in MISSING_STRATEGIES:

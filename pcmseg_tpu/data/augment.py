@@ -64,14 +64,33 @@ def random_crop(
     label: np.ndarray,
     rng: np.random.Generator,
     crop: Tuple[int, int, int],
+    oversample_fg: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Crop one ((D,H,W,C), (D,H,W,1)) pair to ``crop`` at a shared
     uniform-random offset (nnU-Net-style patch sampling, config
-    ``train_crop``). No-op when already at or below the crop size."""
-    offsets = [
-        int(rng.integers(0, s - c + 1)) if s > c else 0
-        for s, c in zip(image.shape[:3], crop)
-    ]
+    ``train_crop``). With probability ``oversample_fg`` the offset is
+    instead chosen so the crop contains a uniformly-drawn foreground
+    voxel (nnU-Net oversamples lesion patches the same way — small
+    lesions are otherwise missed by most uniform crops). Falls back to
+    uniform when the case has no foreground. No-op when already at or
+    below the crop size."""
+    dims = image.shape[:3]
+    offsets = None
+    if oversample_fg > 0.0 and rng.random() < oversample_fg:
+        fg = np.argwhere(label[..., 0] > 0)
+        if fg.shape[0]:
+            v = fg[int(rng.integers(0, fg.shape[0]))]
+            offsets = []
+            for vi, s, c in zip(v, dims, crop):
+                # o must satisfy o <= vi < o + c, clipped to valid range
+                lo = int(np.clip(int(vi) - c + 1, 0, max(s - c, 0)))
+                hi = int(np.clip(int(vi), 0, max(s - c, 0)))
+                offsets.append(int(rng.integers(lo, hi + 1)))
+    if offsets is None:
+        offsets = [
+            int(rng.integers(0, s - c + 1)) if s > c else 0
+            for s, c in zip(dims, crop)
+        ]
     sl = tuple(slice(o, o + c) for o, c in zip(offsets, crop))
     return (
         np.ascontiguousarray(image[sl]),
@@ -89,12 +108,14 @@ class Augmenter:
         rot90: bool = True,
         intensity_jitter: float = 0.1,
         crop: Tuple[int, int, int] = None,
+        oversample_fg: float = 0.0,
     ):
         self.seed = seed
         self.flip = flip
         self.rot90 = rot90
         self.intensity_jitter = intensity_jitter
         self.crop = tuple(crop) if crop else None
+        self.oversample_fg = float(oversample_fg)
 
     def __call__(
         self, sample: Dict[str, np.ndarray], epoch: int, index: int
@@ -104,7 +125,9 @@ class Augmenter:
         if self.crop is not None:
             # crop first: the spatial/intensity augs then touch ~(c/t)³
             # fewer voxels
-            image, label = random_crop(image, label, rng, self.crop)
+            image, label = random_crop(
+                image, label, rng, self.crop, self.oversample_fg
+            )
         image, label = augment_sample(
             image,
             label,

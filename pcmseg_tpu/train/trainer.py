@@ -153,6 +153,7 @@ class Trainer:
                     config.aug_intensity_jitter if aug_on else 0.0
                 ),
                 crop=config.train_crop,
+                oversample_fg=config.oversample_fg,
             )
         self.train_loader = DataLoader(
             self.dataset,

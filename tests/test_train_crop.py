@@ -87,6 +87,82 @@ def test_device_random_crop_alignment_and_variation():
     assert len(outs) > 1
 
 
+def sparse_fg_volume(shape=(12, 16, 16), voxel=(10, 2, 13)):
+    """Label with a single foreground voxel — a uniform (4,8,8) crop of
+    (12,16,16) contains it with probability (4·7·4)/(9·9·9) ≈ 15%, so
+    20 all-hit draws under oversample_fg=1.0 are conclusive."""
+    image = np.random.default_rng(3).normal(
+        size=shape + (2,)
+    ).astype(np.float32)
+    label = np.zeros(shape + (1,), dtype=np.float32)
+    label[voxel] = 1.0
+    return image, label
+
+
+def test_host_oversample_fg_always_contains_foreground():
+    image, label = sparse_fg_volume()
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        img, lab = random_crop(image, label, rng, (4, 8, 8),
+                               oversample_fg=1.0)
+        assert lab.sum() == 1.0
+        assert img.shape == (4, 8, 8, 2)
+    # p=0 keeps the plain uniform behavior: some crops miss the voxel
+    misses = sum(
+        random_crop(image, label, np.random.default_rng(i), (4, 8, 8),
+                    oversample_fg=0.0)[1].sum() == 0.0
+        for i in range(20)
+    )
+    assert misses > 0
+
+
+def test_host_oversample_fg_empty_label_falls_back_uniform():
+    image, label = coord_volume()
+    empty = np.zeros_like(label)
+    rng = np.random.default_rng(1)
+    img, lab = random_crop(image, empty, rng, (4, 8, 8), oversample_fg=1.0)
+    assert img.shape == (4, 8, 8, 2) and lab.sum() == 0.0
+
+
+def test_device_oversample_fg_always_contains_foreground():
+    image, label = sparse_fg_volume()
+    images = np.stack([image] * 4)
+    labels = np.stack([label] * 4)
+
+    crop_fn = jax.jit(
+        lambda i, l, k: device_random_crop(i, l, k, (4, 8, 8),
+                                           oversample_fg=1.0)
+    )
+    hit_everywhere = True
+    offsets = set()
+    for k in range(5):
+        out_i, out_l = crop_fn(images, labels, jax.random.key(k))
+        out_l = np.asarray(out_l)
+        hit_everywhere &= bool((out_l.sum(axis=(1, 2, 3, 4)) == 1.0).all())
+        # fg-biased offsets still vary within the window around the voxel
+        out_i = np.asarray(out_i)
+        offsets.update(float(v) for v in out_i[:, 0, 0, 0, 0])
+    assert hit_everywhere
+    assert len(offsets) > 1
+    # empty labels fall back to uniform offsets (and never NaN/crash)
+    out_i, out_l = jax.jit(
+        lambda i, l, k: device_random_crop(i, l, k, (4, 8, 8),
+                                           oversample_fg=1.0)
+    )(images, np.zeros_like(labels), jax.random.key(0))
+    assert np.asarray(out_l).sum() == 0.0
+    assert np.isfinite(np.asarray(out_i)).all()
+
+
+def test_oversample_fg_config_validation():
+    cfg = get_config("standard", target_size=(32, 32, 32),
+                     train_crop=(16, 16, 16), oversample_fg=0.33)
+    assert cfg.oversample_fg == 0.33
+    with pytest.raises(ValueError):
+        get_config("standard", oversample_fg=1.5)
+    with pytest.raises(ValueError):
+        get_config("standard", oversample_fg=-0.1)
+
+
 def test_config_validation():
     cfg = get_config("standard", target_size=(32, 32, 32),
                      train_crop=(16, 16, 16))
@@ -127,6 +203,7 @@ def test_trainer_with_crop_trains_and_validates_full_size(tmp_path):
         compute_dtype="float32",
         target_size=(20, 20, 20),
         train_crop=(16, 16, 16),
+        oversample_fg=0.33,
         batch_size=2,
         num_epochs=2,
         val_fraction=0.34,
@@ -148,6 +225,7 @@ def test_trainer_with_crop_trains_and_validates_full_size(tmp_path):
         compute_dtype="float32",
         target_size=(20, 20, 20),
         train_crop=(16, 16, 16),
+        oversample_fg=0.33,
         batch_size=2,
         num_epochs=1,
         val_fraction=0.34,
