@@ -24,6 +24,11 @@ def _add_postprocess_flags(p: argparse.ArgumentParser) -> None:
     # connected-component mask filtering (infer/postprocess.py); on
     # validate the filtered masks are what gets scored, so the filter's
     # Dice effect is measurable before it's turned on in serving
+    p.add_argument("--device_ingest", action="store_true", default=None,
+                   help="normalize+cast+stack each case's modalities ON "
+                        "the device (raw int16 upload) instead of the "
+                        "host C++ pass — cuts steady serving host time "
+                        "(see BENCH.md round-4 'Device ingest')")
     p.add_argument("--postprocess", choices=["none", "largest_cc"],
                    default=None,
                    help="filter thresholded masks: largest_cc keeps only "
@@ -44,9 +49,22 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--target_size", type=int, nargs=3, default=None,
                    metavar=("D", "H", "W"))
     p.add_argument("--base_features", type=int, default=None)
+    p.add_argument("--n_classes", type=int, default=None,
+                   help="1 (default): sigmoid binary segmentation. K >= 2: "
+                        "K-class softmax — integer label maps (values "
+                        "0..K-1) train with per-class Dice/CE "
+                        "(ops/losses.py), validate reports per-class Dice, "
+                        "and predict writes the argmax label map")
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--save_dir", default=None)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--coregister", action="store_true", default=None,
+                   help="resample every modality (and the label) onto the "
+                        "anchor modality's grid by PHYSICAL coordinates "
+                        "before the target_size resize — needed when "
+                        "ADC/DWI/T2 acquisition grids differ (the "
+                        "reference stacks index-space arrays and assumes "
+                        "aligned grids)")
     p.add_argument("--normalize",
                    choices=["percentile", "minmax", "zscore", "none"],
                    default=None)
@@ -103,6 +121,21 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
     )
     pt.add_argument("--data_augmentation", action="store_true")
+    pt.add_argument("--aug_scale", type=float, default=None, metavar="S",
+                    help="with --data_augmentation: random isotropic zoom "
+                         "U(1-S, 1+S) (nnU-Net-style; try 0.15)")
+    pt.add_argument("--aug_rotate_deg", type=float, default=None, metavar="R",
+                    help="with --data_augmentation: random H-W-plane "
+                         "rotation U(-R, R) degrees (try 20)")
+    pt.add_argument("--aug_gamma", type=float, default=None, metavar="G",
+                    help="with --data_augmentation: intensity gamma "
+                         "exp(U(-G, G)) on the normalized range (try 0.3)")
+    pt.add_argument("--aug_noise", type=float, default=None, metavar="N",
+                    help="with --data_augmentation: additive Gaussian "
+                         "noise, sigma U(0, N)·std (try 0.1)")
+    pt.add_argument("--aug_blur_prob", type=float, default=None, metavar="P",
+                    help="with --data_augmentation: Gaussian blur "
+                         "(sigma 0.5-1.1 vox) with probability P (try 0.2)")
     pt.add_argument("--scheduler",
                     choices=["reduce_on_plateau", "cosine", "poly",
                              "constant"],
@@ -298,10 +331,12 @@ def _config_from_args(args, preset: str = "standard", with_explicit: bool = Fals
         "data_type": "data_type",
         "missing_strategy": "missing_strategy",
         "base_features": "base_features",
+        "n_classes": "n_classes",
         "batch_size": "batch_size",
         "save_dir": "save_dir",
         "seed": "seed",
         "normalize": "normalize",
+        "coregister": "coregister",
         "cache_dir": "cache_dir",
         "device_cache_gb": "device_data_cache_gb",
         "async_checkpoint": "async_checkpoint",
@@ -314,6 +349,11 @@ def _config_from_args(args, preset: str = "standard", with_explicit: bool = Fals
         "scheduler": "scheduler",
         "warmup_epochs": "warmup_epochs",
         "ema_decay": "ema_decay",
+        "aug_scale": "aug_scale",
+        "aug_rotate_deg": "aug_rotate_deg",
+        "aug_gamma": "aug_gamma",
+        "aug_noise": "aug_noise",
+        "aug_blur_prob": "aug_blur_prob",
         "oversample_fg": "oversample_fg",
         "threshold": "threshold",
         "surface_tolerance": "surface_dice_tolerance",
@@ -324,6 +364,7 @@ def _config_from_args(args, preset: str = "standard", with_explicit: bool = Fals
         "profile_steps": "profile_steps",
         "postprocess": "postprocess",
         "min_component_voxels": "min_component_voxels",
+        "device_ingest": "device_ingest",
     }
     overrides = {}
     for arg_name, cfg_name in mapping.items():

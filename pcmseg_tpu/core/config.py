@@ -60,6 +60,14 @@ class Config:
     target_size: Tuple[int, int, int] = (128, 128, 128)  # (D, H, W)
     normalize: str = "percentile"  # percentile-clipped min-max by default
     norm_percentiles: Tuple[float, float] = (1.0, 99.0)
+    # physical-space modality co-registration (beyond-reference): resample
+    # every modality and the label onto the anchor (first available)
+    # modality's grid by physical coordinates (origin/spacing/direction)
+    # before the index-space resize — data/resample.py::resample_to_grid.
+    # The reference stacks independently-resampled arrays and silently
+    # assumes voxel-aligned grids (data_loader.py:352-377); leave False
+    # for parity with it.
+    coregister: bool = False
     # Preprocessing cache. Default 'auto' resolves to $PCMSEG_CACHE_DIR or
     # ~/.cache/pcmseg/preproc (keys are content-aware: case paths, mtimes,
     # target size, normalization — stale entries can't be served). The
@@ -133,6 +141,17 @@ class Config:
     aug_flip: bool = True
     aug_rot90: bool = True
     aug_intensity_jitter: float = 0.1
+    # extended nnU-Net-style augmentation (device-cache path, all
+    # default-off; data/device_cache.py::device_augment): isotropic zoom
+    # U(1±aug_scale), arbitrary H-W rotation U(±aug_rotate_deg)°, gamma
+    # exp(U(±aug_gamma)), additive noise sigma U(0,aug_noise)·std, and
+    # Gaussian blur with probability aug_blur_prob. The streamed-loader
+    # host path applies the same transforms via scipy (data/augment.py).
+    aug_scale: float = 0.0
+    aug_rotate_deg: float = 0.0
+    aug_gamma: float = 0.0
+    aug_noise: float = 0.0
+    aug_blur_prob: float = 0.0
     # patch training (beyond-reference, nnU-Net-style): train on random
     # (D,H,W) crops of the target_size volumes — an aggressive spatial
     # regularizer that also cuts per-step FLOPs/memory ~(crop/target)³,
@@ -227,6 +246,12 @@ class Config:
     hausdorff_percentile: float = 95.0
     surface_dice_tolerance: float = 1.0
     fold_bn: bool = True  # fold frozen BN into conv weights for serving
+    # serving ingest on device: upload each modality RAW (native int16 is
+    # the same 2 B/voxel H2D as the bf16 wire) and run percentile
+    # normalize + cast + stack on the chip instead of the host C++ pass —
+    # moves ~1.2 s/case of host work (BENCH.md configs[4] attribution)
+    # onto the device. Host zlib decode + grid resampling remain host-side.
+    device_ingest: bool = False
     # Fused Pallas convs for folded serving (TPU only). Off by default: the
     # kernels beat XLA's conv 1.8-2x standalone at the mid/deep levels, but
     # inside the full model XLA's cross-op fusion wins (measured 61 vs

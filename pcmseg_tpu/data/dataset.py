@@ -93,9 +93,24 @@ class ProstateDataset:
         cache_dir: Optional[str] = None,
         is_training: bool = True,
         verbose: bool = False,
+        n_classes: int = 1,
+        coregister: bool = False,
     ):
         if missing_strategy not in ("zero_fill", "skip", "duplicate"):
             raise ValueError(f"unknown missing_strategy: {missing_strategy!r}")
+        # n_classes <= 1: binary — labels binarized (>0), parity with the
+        # reference (data_loader.py label handling). n_classes >= 2:
+        # integer class maps preserved (rounded, clipped to 0..K-1) for
+        # the softmax multi-class path (ops/losses.py multi-class section).
+        self.n_classes = int(n_classes)
+        # physical-space modality co-registration (beyond-reference,
+        # config.coregister): every modality and the label are resampled
+        # onto the anchor (first available) modality's grid by PHYSICAL
+        # coordinates before the index-space resize to target_size —
+        # data/resample.py::resample_to_grid. Off by default: the
+        # reference stacks index-space arrays (data_loader.py:352-377)
+        # and parity mode reproduces that.
+        self.coregister = bool(coregister)
         self.data_dir = data_dir
         self.data_type = data_type
         self.modalities = list(modalities)
@@ -215,6 +230,14 @@ class ProstateDataset:
             self.normalize,
             self.norm_percentiles,
             tuple(self.modalities),
+            # part of the key only when multi-class so every existing
+            # binary cache entry stays valid
+            *(
+                (("n_classes", self.n_classes),)
+                if self.n_classes >= 2
+                else ()
+            ),
+            *((("coregister", True),) if self.coregister else ()),
         )).encode())
         for m in self.modalities:
             p = rec.modality_files.get(m)
@@ -226,8 +249,13 @@ class ProstateDataset:
         )
         return h.hexdigest()
 
-    def _load_modality(self, rec: CaseRecord, modality: str) -> np.ndarray:
-        """One modality → normalized (D,H,W) float32 at target_size."""
+    def _load_modality(
+        self, rec: CaseRecord, modality: str, ref_vol=None
+    ) -> np.ndarray:
+        """One modality → normalized (D,H,W) float32 at target_size.
+
+        With ``ref_vol`` (the co-registration anchor) the volume is first
+        resampled onto the anchor's grid by physical coordinates."""
         path = rec.modality_files.get(modality)
         if path is None:
             if self.missing_strategy == "zero_fill":
@@ -244,6 +272,10 @@ class ProstateDataset:
                 # (data_loader.py:231-238)
                 return np.zeros(self.target_size, dtype=np.float32)
             raise
+        if ref_vol is not None:
+            from pcmseg_tpu.data.resample import resample_to_grid
+
+            vol = resample_to_grid(vol, ref_vol, mode="linear")
         data = resample_array(vol.data, self.target_size, mode="linear")
         return normalize_intensity(data, self.normalize, self.norm_percentiles)
 
@@ -271,7 +303,20 @@ class ProstateDataset:
                     "case_id": rec.case_id,
                 }
 
-        channels = [self._load_modality(rec, m) for m in self.modalities]
+        ref_vol = None
+        if self.coregister:
+            for m in self.modalities:
+                p = rec.modality_files.get(m)
+                if not p:
+                    continue
+                try:
+                    ref_vol = read_volume(p)
+                    break
+                except Exception:
+                    continue
+        channels = [
+            self._load_modality(rec, m, ref_vol) for m in self.modalities
+        ]
         image = (
             np.stack(channels, axis=-1)
             .astype(np.float32)
@@ -279,8 +324,17 @@ class ProstateDataset:
         )  # (D,H,W,C)
 
         label_vol = read_volume(rec.label_path)
+        if ref_vol is not None:
+            from pcmseg_tpu.data.resample import resample_to_grid
+
+            label_vol = resample_to_grid(label_vol, ref_vol, mode="nearest")
         label = resample_array(label_vol.data, self.target_size, mode="nearest")
-        label = (label > 0).astype(np.uint8)[..., None]  # (D,H,W,1)
+        if self.n_classes >= 2:
+            label = np.clip(
+                np.rint(label), 0, self.n_classes - 1
+            ).astype(np.uint8)[..., None]  # (D,H,W,1) class map
+        else:
+            label = (label > 0).astype(np.uint8)[..., None]  # (D,H,W,1)
 
         if self.cache_dir:
             tmp = cpath + ".tmp.npz"

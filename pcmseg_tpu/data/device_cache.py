@@ -202,6 +202,99 @@ def _build_multiprocess(dataset, num_workers: int, mesh):
     return {"images": images, "labels": labels, "case_ids": case_ids}
 
 
+def _affine_warp(
+    img: jnp.ndarray,
+    lab: jnp.ndarray,
+    angle: jnp.ndarray,
+    scale: jnp.ndarray,
+):
+    """Rotate (H-W plane, radians) + isotropically zoom one
+    ((D,H,W,C), (D,H,W,1)) pair about the volume center — trilinear for
+    the image, nearest for the label, edge-clamped sampling.
+
+    One fused gather pass (8 corner gathers + lerp weights), built from
+    a static coordinate grid and a traced 2x2 rotation — jit-friendly
+    (static shapes, no host sync). nnU-Net's spatial augmentation does
+    the same warp on the host per patch; here it runs on the TPU over
+    the cached batch (the VPU cost is measured in BENCH.md round-4
+    "Extended device augmentation").
+    """
+    d, h, w = img.shape[:3]
+    zc, yc, xc = (d - 1) / 2.0, (h - 1) / 2.0, (w - 1) / 2.0
+    zz, yy, xx = jnp.meshgrid(
+        jnp.arange(d, dtype=jnp.float32),
+        jnp.arange(h, dtype=jnp.float32),
+        jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    # inverse map: output voxel -> source coordinate (rotate by -angle,
+    # scale by 1/scale about the center)
+    inv = 1.0 / scale
+    cos, sin = jnp.cos(angle), jnp.sin(angle)
+    ys, xs = yy - yc, xx - xc
+    src_z = (zz - zc) * inv + zc
+    src_y = (cos * ys + sin * xs) * inv + yc
+    src_x = (-sin * ys + cos * xs) * inv + xc
+
+    z0 = jnp.clip(jnp.floor(src_z), 0, d - 1)
+    y0 = jnp.clip(jnp.floor(src_y), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(src_x), 0, w - 1)
+    fz, fy, fx = src_z - z0, src_y - y0, src_x - x0
+    z0i = z0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    z1i = jnp.minimum(z0i + 1, d - 1)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+
+    def gather(vol, zi, yi, xi):
+        return vol[zi, yi, xi]  # advanced indexing -> one XLA gather
+
+    def trilerp(vol):
+        c000 = gather(vol, z0i, y0i, x0i)
+        c001 = gather(vol, z0i, y0i, x1i)
+        c010 = gather(vol, z0i, y1i, x0i)
+        c011 = gather(vol, z0i, y1i, x1i)
+        c100 = gather(vol, z1i, y0i, x0i)
+        c101 = gather(vol, z1i, y0i, x1i)
+        c110 = gather(vol, z1i, y1i, x0i)
+        c111 = gather(vol, z1i, y1i, x1i)
+        wz, wy, wx = (f[..., None] for f in (fz, fy, fx))
+        c00 = c000 * (1 - wx) + c001 * wx
+        c01 = c010 * (1 - wx) + c011 * wx
+        c10 = c100 * (1 - wx) + c101 * wx
+        c11 = c110 * (1 - wx) + c111 * wx
+        c0 = c00 * (1 - wy) + c01 * wy
+        c1 = c10 * (1 - wy) + c11 * wy
+        return c0 * (1 - wz) + c1 * wz
+
+    out_img = trilerp(img.astype(jnp.float32)).astype(img.dtype)
+    # label: nearest neighbor (round the source coordinate)
+    zn = jnp.clip(jnp.round(src_z), 0, d - 1).astype(jnp.int32)
+    yn = jnp.clip(jnp.round(src_y), 0, h - 1).astype(jnp.int32)
+    xn = jnp.clip(jnp.round(src_x), 0, w - 1).astype(jnp.int32)
+    out_lab = gather(lab, zn, yn, xn)
+    return out_img, out_lab
+
+
+def _separable_blur(img: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
+    """Gaussian blur with a traced sigma: static 5-tap separable kernel
+    whose weights depend on ``sigma`` (radius 2 covers sigma <= ~1.2)."""
+    offs = jnp.arange(-2.0, 3.0)
+    k = jnp.exp(-0.5 * (offs / jnp.maximum(sigma, 1e-3)) ** 2)
+    k = k / jnp.sum(k)
+    x = img.astype(jnp.float32)
+    for ax in range(3):
+        x = jnp.moveaxis(x, ax, -1)
+        pad = [(0, 0)] * (x.ndim - 1) + [(2, 2)]
+        xp = jnp.pad(x, pad, mode="edge")
+        x = sum(
+            xp[..., i : i + x.shape[-1]] * k[i] for i in range(5)
+        )
+        x = jnp.moveaxis(x, -1, ax)
+    return x.astype(img.dtype)
+
+
 def device_augment(
     images: jnp.ndarray,
     labels: jnp.ndarray,
@@ -209,6 +302,11 @@ def device_augment(
     flip: bool = True,
     rot90: bool = True,
     intensity_jitter: float = 0.1,
+    scale: float = 0.0,
+    rotate_deg: float = 0.0,
+    gamma: float = 0.0,
+    noise: float = 0.0,
+    blur_prob: float = 0.0,
 ):
     """On-device, per-sample augmentation of a (B, D, H, W, C) batch.
 
@@ -216,12 +314,25 @@ def device_augment(
     plane 90° rotations — 180° only for non-square H-W, matching the
     host rule — and intensity scale/shift jitter) with jnp ops that XLA
     fuses into the step. Labels follow the spatial ops only.
+
+    Beyond the basic set (all default-off; nnU-Net-style spatial and
+    intensity transforms, VERDICT round-3 next #5):
+      * ``scale`` s > 0: isotropic zoom by U(1-s, 1+s) (trilinear image,
+        nearest label, edge-clamped — combined with the rotation into
+        ONE warp pass).
+      * ``rotate_deg`` r > 0: arbitrary-angle H-W-plane rotation by
+        U(-r, r) degrees.
+      * ``gamma`` g > 0: intensity gamma in exp(U(-g, g)) applied on the
+        per-sample min-max-normalized scale (preserves the input range).
+      * ``noise`` n > 0: additive Gaussian noise, sigma = U(0, n)·std.
+      * ``blur_prob`` p: with probability p, separable Gaussian blur
+        with sigma ~ U(0.5, 1.1) voxels (5-tap kernel).
     """
     b = images.shape[0]
     square = images.shape[2] == images.shape[3]
 
     def one(img, lab, k):
-        kf, kr, ks, kh = jax.random.split(k, 4)
+        kf, kr, ks, kh, kw, kg, kn, kb = jax.random.split(k, 8)
         if flip:
             flags = jax.random.bernoulli(kf, 0.5, (3,))
             for ax, flag in enumerate(flags):
@@ -248,15 +359,57 @@ def device_augment(
                 r2l = jnp.flip(jnp.flip(lab, axis=1), axis=2)
                 img = jnp.where(k4 == 2, r2i, img)
                 lab = jnp.where(k4 == 2, r2l, lab)
+        if scale > 0 or rotate_deg > 0:
+            k1, k2 = jax.random.split(kw)
+            ang = (
+                jax.random.uniform(
+                    k1, (), minval=-rotate_deg, maxval=rotate_deg
+                ) * (jnp.pi / 180.0)
+                if rotate_deg > 0 else jnp.float32(0.0)
+            )
+            zoom = (
+                1.0 + jax.random.uniform(k2, (), minval=-scale, maxval=scale)
+                if scale > 0 else jnp.float32(1.0)
+            )
+            img, lab = _affine_warp(img, lab, ang, zoom)
         if intensity_jitter > 0:
-            scale = 1.0 + jax.random.uniform(
+            sc = 1.0 + jax.random.uniform(
                 ks, (), minval=-intensity_jitter, maxval=intensity_jitter
             )
             std = jnp.std(img.astype(jnp.float32))
             shift = jax.random.uniform(
                 kh, (), minval=-intensity_jitter, maxval=intensity_jitter
             ) * jnp.where(std > 0, std, 1.0)
-            img = (img.astype(jnp.float32) * scale + shift).astype(img.dtype)
+            img = (img.astype(jnp.float32) * sc + shift).astype(img.dtype)
+        if gamma > 0:
+            # gamma on the per-sample min-max-normalized scale, then map
+            # back — keeps the (already-normalized) input range intact
+            g = jnp.exp(
+                jax.random.uniform(kg, (), minval=-gamma, maxval=gamma)
+            )
+            x = img.astype(jnp.float32)
+            lo, hi = jnp.min(x), jnp.max(x)
+            span = jnp.maximum(hi - lo, 1e-6)
+            img = (
+                jnp.power((x - lo) / span, g) * span + lo
+            ).astype(img.dtype)
+        if noise > 0:
+            k1, k2 = jax.random.split(kn)
+            sigma = jax.random.uniform(k1, (), maxval=noise) * jnp.maximum(
+                jnp.std(img.astype(jnp.float32)), 1e-6
+            )
+            img = (
+                img.astype(jnp.float32)
+                + sigma * jax.random.normal(k2, img.shape)
+            ).astype(img.dtype)
+        if blur_prob > 0:
+            k1, k2 = jax.random.split(kb)
+            blurred = _separable_blur(
+                img, jax.random.uniform(k2, (), minval=0.5, maxval=1.1)
+            )
+            img = jnp.where(
+                jax.random.uniform(k1, ()) < blur_prob, blurred, img
+            )
         return img, lab
 
     keys = jax.random.split(key, b)
@@ -277,11 +430,18 @@ def device_random_crop(
     offsets are instead chosen so the crop contains a uniformly-random
     foreground voxel of its label: argmax of iid noise masked to the
     label support picks the voxel (one fused elementwise+reduce pass,
-    ~2M voxels at 128³ — negligible next to the convs), then each axis
-    offset is drawn uniformly from the clipped window that keeps the
-    voxel inside the crop. Empty labels fall back to uniform. Static
-    crop shape + traced offsets keep the jitted step shape-stable (one
-    compiled program per crop size)."""
+    ~2M voxels at 128³ — measured cost of the whole oversample path is
+    +0.9% step time at 96³ crops, BENCH.md round-4 crop sweep; the
+    reduce stays live for uniform-path samples too since ``jnp.where``
+    keeps both branches — acceptable at that cost, per ADVICE round-3
+    #3), then each axis offset is drawn uniformly from the clipped
+    window that keeps the voxel inside the crop. Empty labels fall back
+    to uniform. This is nnU-Net-INSPIRED, not identical: nnU-Net
+    centers a deterministic fraction of each batch on a sampled
+    foreground voxel, while here the voxel lands uniformly anywhere in
+    the crop window via a per-sample Bernoulli draw (ADVICE round-3
+    #2). Static crop shape + traced offsets keep the jitted step
+    shape-stable (one compiled program per crop size)."""
     b = images.shape[0]
     dims = images.shape[1:4]
     crop = tuple(crop)
@@ -371,6 +531,11 @@ def make_cached_train_step(model, config, base_step, mesh=None):
                 flip=config.aug_flip,
                 rot90=config.aug_rot90,
                 intensity_jitter=config.aug_intensity_jitter,
+                scale=getattr(config, "aug_scale", 0.0),
+                rotate_deg=getattr(config, "aug_rotate_deg", 0.0),
+                gamma=getattr(config, "aug_gamma", 0.0),
+                noise=getattr(config, "aug_noise", 0.0),
+                blur_prob=getattr(config, "aug_blur_prob", 0.0),
             )
         return base_step(
             state, {"image": img, "label": lab, "weight": weights}

@@ -114,6 +114,16 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def set_epoch(self, epoch: int) -> None:
+        """Align the loader's epoch counter (shuffle + augmentation seeds
+        are (seed, epoch)-derived). The trainer calls this on resume so a
+        restarted run replays the SAME per-epoch case order an
+        uninterrupted run would have used — without it, a resume at epoch
+        e reuses epoch 0's order and the continuation is no longer
+        bit-identical (caught by
+        tests/test_multihost.py::test_cluster_kill_one_process_then_resume)."""
+        self._epoch = int(epoch)
+
     @property
     def case_ids(self) -> List[str]:
         return [self.dataset.case_list[i].case_id for i in self.indices]
@@ -205,6 +215,7 @@ def get_dataloader(
     cache_dir: Optional[str] = None,
     drop_last: bool = False,
     seed: int = 0,
+    n_classes: int = 1,
 ) -> DataLoader:
     """One loader factory used uniformly by every trainer/validator.
 
@@ -221,6 +232,7 @@ def get_dataloader(
         normalize=normalize,
         cache_dir=cache_dir,
         is_training=is_training,
+        n_classes=n_classes,
     )
     return DataLoader(
         dataset,

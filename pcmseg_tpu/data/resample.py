@@ -134,6 +134,66 @@ def resample(
     )
 
 
+def grids_match(a: Volume, b: Volume, tol: float = 1e-3) -> bool:
+    """True when two volumes share the same voxel grid (shape + affine)."""
+    return a.shape == b.shape and np.allclose(
+        a.affine, b.affine, atol=tol
+    )
+
+
+def resample_to_grid(
+    vol: Volume,
+    ref: Volume,
+    mode: str = "linear",
+) -> Volume:
+    """Resample ``vol`` onto ``ref``'s voxel grid by PHYSICAL coordinates.
+
+    The reference pipeline stacks independently-resampled modality arrays,
+    implicitly assuming voxel-aligned acquisition grids
+    (/root/reference/script/data_loader.py:352-377) — in a real mpMRI
+    study ADC/DWI/T2 grids differ in spacing, origin and direction, and
+    index-space stacking misaligns anatomy across channels. This is the
+    physically-correct alternative (config.coregister): each output voxel
+    of ``ref``'s grid is mapped through ``ref.affine`` to physical space,
+    through ``inv(vol.affine)`` back into ``vol``'s index space, and
+    interpolated (trilinear for images, nearest for labels; outside
+    voxels are 0 — SITK resampler defaults).
+
+    Fast path: identical grids return a metadata-preserving copy.
+    """
+    if mode not in ("linear", "nearest"):
+        raise ValueError(f"unknown resample mode: {mode!r}")
+    if grids_match(vol, ref):
+        return Volume(
+            vol.data.copy(), spacing=ref.spacing, origin=ref.origin,
+            direction=ref.direction.copy(),
+        )
+    from scipy import ndimage
+
+    # voxel(x,y,z)->voxel(x,y,z) map from ref grid into vol grid
+    m_xyz = np.linalg.inv(vol.affine) @ ref.affine
+    # data arrays are indexed [z,y,x]: conjugate by the axis reversal
+    j = np.zeros((3, 3))
+    j[0, 2] = j[1, 1] = j[2, 0] = 1.0
+    m_zyx = j @ m_xyz[:3, :3] @ j
+    t_zyx = j @ m_xyz[:3, 3]
+    out = ndimage.affine_transform(
+        np.asarray(vol.data, np.float32),
+        m_zyx,
+        offset=t_zyx,
+        output_shape=ref.shape,
+        order=1 if mode == "linear" else 0,
+        mode="constant",
+        cval=0.0,
+    )
+    if mode == "nearest" and vol.data.dtype != np.float32:
+        out = out.astype(vol.data.dtype)
+    return Volume(
+        out, spacing=ref.spacing, origin=ref.origin,
+        direction=ref.direction.copy(),
+    )
+
+
 def normalize_intensity(
     data: np.ndarray,
     mode: str = "percentile",

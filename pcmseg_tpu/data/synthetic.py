@@ -25,8 +25,15 @@ def make_case(
     rng: np.random.Generator,
     shape: Tuple[int, int, int] = (24, 24, 24),
     n_modalities: int = 5,
+    n_classes: int = 1,
 ):
-    """One phantom: per-modality noisy views of a random sphere lesion."""
+    """One phantom: per-modality noisy views of a random sphere lesion.
+
+    With ``n_classes >= 2`` the label is an integer class map of nested
+    spheres: class 1 is the outer shell, class 2 a concentric core at
+    ~60% radius, class 3 at ~35%, ... (each class gets its own intensity
+    contrast so a multi-class model can actually tell them apart).
+    """
     d, h, w = shape
     zz, yy, xx = np.meshgrid(
         np.arange(d), np.arange(h), np.arange(w), indexing="ij"
@@ -36,7 +43,13 @@ def make_case(
     dist = np.sqrt(
         (zz - center[0]) ** 2 + (yy - center[1]) ** 2 + (xx - center[2]) ** 2
     )
-    mask = (dist < radius).astype(np.float32)
+    if n_classes >= 2:
+        mask = np.zeros(shape, np.float32)
+        fracs = np.linspace(1.0, 0.35, n_classes - 1)
+        for c, f in enumerate(fracs, start=1):
+            mask[dist < radius * f] = c
+    else:
+        mask = (dist < radius).astype(np.float32)
 
     images = []
     for m in range(n_modalities):
@@ -61,6 +74,7 @@ def make_synthetic_dataset(
     drop_modalities: Optional[dict] = None,
     drop_labels: Sequence[str] = (),
     spacing: Tuple[float, float, float] = (1.0, 1.0, 1.5),
+    n_classes: int = 1,
 ) -> list:
     """Write a synthetic data tree; returns the case IDs written.
 
@@ -69,6 +83,8 @@ def make_synthetic_dataset(
         missing-modality strategies).
       drop_labels: case IDs whose label file is omitted (exercises the
         label-presence filter).
+      n_classes: >= 2 writes integer class-map labels (nested spheres,
+        values 0..n_classes-1) for the multi-class path.
     """
     drop_modalities = drop_modalities or {}
     rng = np.random.default_rng(seed)
@@ -79,7 +95,7 @@ def make_synthetic_dataset(
     os.makedirs(os.path.join(root, "BPH-PCA", LABEL_DIR, data_type), exist_ok=True)
 
     for cid in case_ids:
-        images, mask = make_case(rng, shape, len(modalities))
+        images, mask = make_case(rng, shape, len(modalities), n_classes)
         for m, img in zip(modalities, images):
             if m in drop_modalities.get(cid, []):
                 continue

@@ -55,6 +55,8 @@ def warm_cache(
         normalize=config.normalize,
         norm_percentiles=config.norm_percentiles,
         cache_dir=config.cache_dir,
+        n_classes=getattr(config, "n_classes", 1),
+        coregister=getattr(config, "coregister", False),
     )
     indices = list(range(process_index, len(ds), process_count))
     t0 = time.perf_counter()

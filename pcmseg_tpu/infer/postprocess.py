@@ -67,10 +67,42 @@ def postprocess_mask(
     return keep[labels].astype(np.uint8)
 
 
+def postprocess_labelmap(
+    labels: np.ndarray,
+    mode: str = "largest_cc",
+    min_voxels: int = 0,
+    connectivity: int = 1,
+) -> np.ndarray:
+    """Per-class component filtering of an integer (D,H,W) label map.
+
+    Each foreground class c >= 1 is filtered independently with
+    :func:`postprocess_mask`; voxels whose class component was dropped
+    revert to background 0. Returns uint8, same shape.
+    """
+    labels = np.asarray(labels)
+    out = np.zeros_like(labels, dtype=np.uint8)
+    for c in np.unique(labels):
+        if c == 0:
+            continue
+        kept = postprocess_mask(
+            labels == c, mode=mode, min_voxels=min_voxels,
+            connectivity=connectivity,
+        )
+        out[kept > 0] = c
+    return out
+
+
 def postprocess_from_config(mask: np.ndarray, config) -> np.ndarray:
-    """Apply the config's postprocess settings (identity when 'none')."""
+    """Apply the config's postprocess settings (identity when 'none').
+
+    Binary (n_classes <= 1) masks use :func:`postprocess_mask`;
+    multi-class label maps are filtered per class via
+    :func:`postprocess_labelmap`.
+    """
     mode = getattr(config, "postprocess", "none")
     min_voxels = int(getattr(config, "min_component_voxels", 0))
     if mode == "none" and min_voxels <= 0:
         return np.asarray(mask)
+    if int(getattr(config, "n_classes", 1)) >= 2:
+        return postprocess_labelmap(mask, mode=mode, min_voxels=min_voxels)
     return postprocess_mask(mask, mode=mode, min_voxels=min_voxels)

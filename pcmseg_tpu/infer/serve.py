@@ -155,10 +155,24 @@ class PredictionServer:
     # -- serving ---------------------------------------------------------------
 
     def _load(self, case_id: str):
-        """Host-side decode+resample of one case (thread-safe, no device)."""
+        """Host-side decode+resample of one case (thread-safe, no device).
+
+        With ``config.device_ingest`` only the raw per-modality arrays
+        are produced here; normalize+cast+stack run on the chip from the
+        serving thread (predict.py::_device_ingest_stack) — the host
+        share of each case drops to zlib decode + resample."""
+        cfg = self.config
+        if getattr(cfg, "device_ingest", False):
+            from pcmseg_tpu.infer.predict import load_multimodal_raw
+
+            return load_multimodal_raw(
+                os.path.join(self.input_root, case_id),
+                modalities=cfg.modalities,
+                handle_missing=cfg.missing_strategy,
+                coregister=getattr(cfg, "coregister", False),
+            )
         from pcmseg_tpu.infer.predict import load_multimodal_images
 
-        cfg = self.config
         return load_multimodal_images(
             os.path.join(self.input_root, case_id),
             modalities=cfg.modalities,
@@ -166,6 +180,7 @@ class PredictionServer:
             normalize=cfg.normalize,
             norm_percentiles=cfg.norm_percentiles,
             out_dtype=self.predictor.wire_dtype,
+            coregister=getattr(cfg, "coregister", False),
         )
 
     def process_case(self, case_id: str, preloaded=None) -> Optional[str]:
@@ -180,6 +195,12 @@ class PredictionServer:
                 image, reference = preloaded.result()
             else:
                 image, reference = self._load(case_id)
+            if getattr(self.config, "device_ingest", False):
+                # `image` is the raw per-modality channel list; the
+                # normalize+cast+stack program runs on device here (the
+                # serving thread), overlapped with the NEXT case's host
+                # decode by the pipeline above
+                image = self.predictor._device_ingest_stack(image)
             with annotate(f"case:{case_id}"):
                 # threshold on device: the serve loop only writes masks,
                 # so fetch 6 MB uint8 instead of 24 MB fp32 probabilities

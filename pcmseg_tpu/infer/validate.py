@@ -194,6 +194,8 @@ class Validator:
             norm_percentiles=config.norm_percentiles,
             cache_dir=config.cache_dir,
             is_training=False,
+            n_classes=config.n_classes,
+            coregister=config.coregister,
         )
         self.loader = DataLoader(
             self.dataset,
@@ -221,17 +223,38 @@ class Validator:
 
     def _host_rescore(self, masks: np.ndarray, labels) -> tuple:
         """Per-sample Dice/IoU from host uint8 masks (the reference's
-        validate_model.py:24-95 formulas, eps 1e-8)."""
+        validate_model.py:24-95 formulas, eps 1e-8). Multi-class masks
+        are integer label maps; per-sample scores are the mean over the
+        foreground classes (per-class values ride along as the third
+        element, else None)."""
         from pcmseg_tpu.ops.metrics import EPS
 
         n = masks.shape[0]
+        k = int(self.config.n_classes)
+        if k >= 2:
+            p = masks.reshape(n, -1).astype(np.int32)
+            t = np.asarray(labels).reshape(n, -1).astype(np.int32)
+            dice_c = np.zeros((n, k - 1), np.float64)
+            iou_c = np.zeros((n, k - 1), np.float64)
+            for c in range(1, k):
+                pc = (p == c).astype(np.float32)
+                tc = (t == c).astype(np.float32)
+                inter = (pc * tc).sum(axis=1)
+                psum, tsum = pc.sum(axis=1), tc.sum(axis=1)
+                dice_c[:, c - 1] = (2.0 * inter) / (psum + tsum + EPS)
+                iou_c[:, c - 1] = inter / (psum + tsum - inter + EPS)
+            return (
+                dice_c.mean(axis=1).tolist(),
+                iou_c.mean(axis=1).tolist(),
+                dice_c.tolist(),
+            )
         p = masks.astype(np.float32).reshape(n, -1)
         t = np.asarray(labels, np.float32).reshape(n, -1)
         inter = (p * t).sum(axis=1)
         psum, tsum = p.sum(axis=1), t.sum(axis=1)
         dice = (2.0 * inter) / (psum + tsum + EPS)
         iou = inter / (psum + tsum - inter + EPS)
-        return dice.tolist(), iou.tolist()
+        return dice.tolist(), iou.tolist(), None
 
     def _batch_scores(self, batch) -> tuple:
         """Per-sample (dice, iou, masks) at ``config.threshold``.
@@ -243,6 +266,7 @@ class Validator:
         and rescored on the host, so the filter's Dice effect is what gets
         reported. ``masks`` is the uint8 prediction (only materialized when
         ``surface_metrics`` asked for it, else None)."""
+        multiclass = int(self.config.n_classes) >= 2
         if self._ensemble is None:
             m = self._eval_step(
                 self.state, {"image": batch["image"], "label": batch["label"]}
@@ -253,10 +277,15 @@ class Validator:
                     np.asarray(m["dice"]).tolist(),
                     np.asarray(m["iou"]).tolist(),
                     masks,
+                    np.asarray(m["dice_class"]).tolist()
+                    if "dice_class" in m else None,
                 )
         else:
             probs = self._ensemble.predict_probs_batch(batch["image"])
-            masks = (probs > self.config.threshold).astype(np.uint8)
+            if multiclass:
+                masks = np.argmax(probs, axis=-1).astype(np.uint8)[..., None]
+            else:
+                masks = (probs > self.config.threshold).astype(np.uint8)
         if self._postprocess:
             from pcmseg_tpu.infer.postprocess import postprocess_from_config
 
@@ -264,10 +293,10 @@ class Validator:
                 postprocess_from_config(mk[..., 0], self.config)[..., None]
                 for mk in masks
             ])
-        dice, iou = self._host_rescore(masks, batch["label"])
+        dice, iou, dice_class = self._host_rescore(masks, batch["label"])
         if not self.config.surface_metrics:
             masks = None
-        return dice, iou, masks
+        return dice, iou, masks, dice_class
 
     def _case_surface(self, mask, label, spacing) -> Dict:
         """Boundary metrics for one case; JSON-safe (inf -> None)."""
@@ -299,11 +328,17 @@ class Validator:
         cfg = self.config
         case_results: List[Dict] = []
         for batch in self.loader:
-            dices, ious, masks = self._batch_scores(batch)
+            dices, ious, masks, dice_class = self._batch_scores(batch)
             for i, (cid, dice, iou) in enumerate(
                 zip(batch["case_id"], dices, ious)
             ):
                 rec = {"case_id": cid, "dice": float(dice), "iou": float(iou)}
+                if dice_class is not None:
+                    # class c's Dice at key str(c) (foreground classes only)
+                    rec["dice_per_class"] = {
+                        str(c + 1): float(v)
+                        for c, v in enumerate(dice_class[i])
+                    }
                 if masks is not None:
                     # unit spacing: this validator scores on the resampled
                     # target_size grid, so distances read in voxels
@@ -325,6 +360,13 @@ class Validator:
             "case_count": len(case_results),
             "case_results": case_results,
         }
+        per = [
+            r["dice_per_class"] for r in case_results if "dice_per_class" in r
+        ]
+        if per:
+            results["avg_dice_per_class"] = {
+                c: float(np.mean([p[c] for p in per])) for c in per[0]
+            }
         if cfg.surface_metrics:
             results.update(self._surface_averages(case_results))
             results["surface_units"] = "voxel"
@@ -359,10 +401,16 @@ class Validator:
         predictor = self._native_predictor()
 
         cfg = self.config
+        k = int(cfg.n_classes) if hasattr(cfg, "n_classes") else 1
         case_results: List[Dict] = []
         for rec in self.dataset.case_list:
             label_vol = read_volume(rec.label_path)
-            label = (label_vol.data > 0).astype(np.float32)[..., None]
+            if k >= 2:
+                label = np.clip(
+                    np.rint(label_vol.data), 0, k - 1
+                ).astype(np.float32)[..., None]
+            else:
+                label = (label_vol.data > 0).astype(np.float32)[..., None]
             channels = []
             for m in cfg.modalities:
                 p = rec.modality_files.get(m)
@@ -378,19 +426,38 @@ class Validator:
                     )
                 )
             image = np.stack(channels, axis=-1).astype(np.float32)
-            # device-side threshold (uint8 D2H is 4x smaller than probs)
+            # device-side threshold/argmax (uint8 D2H is 4x smaller than
+            # probs)
             mask = predictor.predict_mask(image)[..., None].astype(np.float32)
-            case_rec = {
-                "case_id": rec.case_id,
-                "dice": float(dice_score(mask, label)),
-                "iou": float(iou_score(mask, label)),
-                "shape": list(label_vol.shape),
-            }
+            if k >= 2:
+                dice, iou, dice_c = self._host_rescore(mask[None], label[None])
+                case_rec = {
+                    "case_id": rec.case_id,
+                    "dice": float(dice[0]),
+                    "iou": float(iou[0]),
+                    "dice_per_class": {
+                        str(c + 1): float(v) for c, v in enumerate(dice_c[0])
+                    },
+                    "shape": list(label_vol.shape),
+                }
+                # boundary metrics below score the foreground UNION
+                # (mask>0 vs label>0) — per-class surfaces would need a
+                # per-class distance transform per case
+                mask = (mask > 0).astype(np.float32)
+                label_s = (label > 0).astype(np.float32)
+            else:
+                case_rec = {
+                    "case_id": rec.case_id,
+                    "dice": float(dice_score(mask, label)),
+                    "iou": float(iou_score(mask, label)),
+                    "shape": list(label_vol.shape),
+                }
+                label_s = label
             if cfg.surface_metrics:
                 # Volume spacing is (sx,sy,sz); data axes are (z,y,x) —
                 # reverse so distances come out in true millimetres
                 case_rec.update(
-                    self._case_surface(mask, label, label_vol.spacing[::-1])
+                    self._case_surface(mask, label_s, label_vol.spacing[::-1])
                 )
             case_results.append(case_rec)
 

@@ -496,12 +496,24 @@ class UNet3D(nn.Module):
         return logits
 
     def predict(self, x):
-        """Sigmoid probabilities (reference models/unet3d.py:298-318)."""
-        return jax.nn.sigmoid(self(x, train=False))
+        """Class probabilities (reference models/unet3d.py:298-318):
+        sigmoid for the binary head, softmax over channels when
+        ``n_classes >= 2`` (the reference built n_classes=2 models from
+        its CLI but had no multi-class activation anywhere — SURVEY.md
+        §8.4; here it is a real capability)."""
+        logits = self(x, train=False)
+        if self.n_classes >= 2:
+            return jax.nn.softmax(logits, axis=-1)
+        return jax.nn.sigmoid(logits)
 
     def inference(self, x, threshold: float = 0.5):
-        """Binary mask at ``threshold`` (reference models/unet3d.py:320-344)."""
-        return (self.predict(x) > threshold).astype(jnp.float32)
+        """Binary mask at ``threshold`` (reference models/unet3d.py:320-344),
+        or the argmax label map for multi-class heads (float, values
+        0..K-1, keeping the trailing channel dim)."""
+        probs = self.predict(x)
+        if self.n_classes >= 2:
+            return jnp.argmax(probs, axis=-1)[..., None].astype(jnp.float32)
+        return (probs > threshold).astype(jnp.float32)
 
     # ---- convenience constructors -----------------------------------------
 

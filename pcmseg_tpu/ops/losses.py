@@ -182,12 +182,166 @@ def focal_dice_loss(
     ) + dice_weight * dice_loss(logits, targets, smooth, weight)
 
 
-def make_loss_fn(name: str, **kwargs):
+# ---- multi-class (n_classes >= 2, softmax) ---------------------------------
+#
+# The reference's CLI surface builds UNet3D(n_classes=2) but its losses,
+# validator, and predictor are binary-only (SURVEY.md §8.4 — run.py:130
+# vs utils/losses.py); here n_classes >= 2 is a REAL capability: integer
+# label maps (N,...,1) with values 0..K-1, softmax over the K-channel
+# logits, per-class soft Dice averaged over the foreground classes
+# (background excluded, nnU-Net's convention), and softmax cross-entropy
+# as the CE analog of BCE. Same fp32-reduction and global-flatten
+# semantics as the binary losses above.
+
+
+def one_hot_targets(labels: jnp.ndarray, n_classes: int) -> jnp.ndarray:
+    """(N,...,1) or (N,...) integer labels → (N,...,K) float32 one-hot."""
+    if labels.shape[-1] == 1:
+        labels = labels[..., 0]
+    return jnn.one_hot(labels.astype(jnp.int32), n_classes, dtype=jnp.float32)
+
+
+def softmax_dice_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    smooth: float = 1.0,
+    weight: jnp.ndarray = None,
+    include_background: bool = False,
+):
+    """Mean per-class soft Dice over softmax probabilities.
+
+    Per class c: ``1 - (2·∩_c + s) / (Σp_c + Σt_c + s)`` with the global
+    flatten over batch+space (the multi-class generalization of
+    :func:`dice_loss`'s reduction); the loss is the mean over foreground
+    classes 1..K-1 (``include_background`` adds class 0). The +smooth
+    keeps absent classes' terms at 0 loss, matching the binary behavior.
+    """
+    k = logits.shape[-1]
+    probs = jnn.softmax(logits.astype(jnp.float32), axis=-1)
+    t = one_hot_targets(labels, k)
+    if weight is not None:
+        w = _sample_weight_f32(weight, logits)
+        probs = probs * w
+        t = t * w
+    axes = tuple(range(probs.ndim - 1))  # all but class
+    inter = jnp.sum(probs * t, axis=axes)
+    denom = jnp.sum(probs, axis=axes) + jnp.sum(t, axis=axes)
+    dice_c = (2.0 * inter + smooth) / (denom + smooth)
+    start = 0 if include_background else 1
+    return 1.0 - jnp.mean(dice_c[start:])
+
+
+def ce_loss(
+    logits: jnp.ndarray, labels: jnp.ndarray, weight: jnp.ndarray = None
+):
+    """Mean softmax cross-entropy (the K-class analog of :func:`bce_loss`;
+    matches ``torch.nn.CrossEntropyLoss`` mean reduction)."""
+    k = logits.shape[-1]
+    logp = jnn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    t = one_hot_targets(labels, k)
+    per_vox = -jnp.sum(t * logp, axis=-1)
+    if weight is None:
+        return jnp.mean(per_vox)
+    w = weight.astype(jnp.float32)
+    axes = tuple(range(1, per_vox.ndim))
+    per_sample = jnp.mean(per_vox, axis=axes)
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def mc_tversky_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    alpha: float = 0.3,
+    beta: float = 0.7,
+    smooth: float = 1.0,
+    weight: jnp.ndarray = None,
+):
+    """Mean per-foreground-class Tversky over softmax probabilities."""
+    k = logits.shape[-1]
+    probs = jnn.softmax(logits.astype(jnp.float32), axis=-1)
+    t = one_hot_targets(labels, k)
+    if weight is not None:
+        w = _sample_weight_f32(weight, logits)
+        probs = probs * w
+        t = t * w
+    axes = tuple(range(probs.ndim - 1))
+    tp = jnp.sum(probs * t, axis=axes)
+    fp = jnp.sum(probs, axis=axes) - tp
+    fn = jnp.sum(t, axis=axes) - tp
+    tv = (tp + smooth) / (tp + alpha * fp + beta * fn + smooth)
+    return 1.0 - jnp.mean(tv[1:])
+
+
+def mc_focal_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    gamma: float = 2.0,
+    weight: jnp.ndarray = None,
+):
+    """Multi-class focal cross-entropy: ``-(1-p_t)^gamma · log(p_t)``
+    where ``p_t`` is the softmax probability of the true class (Lin et
+    al. 2017 generalized; no per-class alpha — class balance is the Dice
+    term's job under 'focal_dice')."""
+    k = logits.shape[-1]
+    logp = jnn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    t = one_hot_targets(labels, k)
+    log_pt = jnp.sum(t * logp, axis=-1)
+    per_vox = -jnp.power(1.0 - jnp.exp(log_pt), gamma) * log_pt
+    if weight is None:
+        return jnp.mean(per_vox)
+    w = weight.astype(jnp.float32)
+    axes = tuple(range(1, per_vox.ndim))
+    per_sample = jnp.mean(per_vox, axis=axes)
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def _make_multiclass_loss_fn(name: str, **kwargs):
+    smooth = kwargs.get("dice_smooth", 1.0)
+    if name == "dice":
+        return lambda logits, targets, weight=None: softmax_dice_loss(
+            logits, targets, smooth, weight
+        )
+    if name == "bce_dice":  # CE is the K-class analog of BCE
+        cw = kwargs.get("bce_weight", 0.5)
+        dw = kwargs.get("dice_weight", 0.5)
+        return lambda logits, targets, weight=None: (
+            cw * ce_loss(logits, targets, weight)
+            + dw * softmax_dice_loss(logits, targets, smooth, weight)
+        )
+    if name == "tversky":
+        return lambda logits, targets, weight=None: mc_tversky_loss(
+            logits,
+            targets,
+            alpha=kwargs.get("tversky_alpha", 0.3),
+            beta=kwargs.get("tversky_beta", 0.7),
+            smooth=smooth,
+            weight=weight,
+        )
+    if name == "focal":
+        return lambda logits, targets, weight=None: mc_focal_loss(
+            logits, targets, gamma=kwargs.get("focal_gamma", 2.0), weight=weight
+        )
+    if name == "focal_dice":
+        fw = kwargs.get("bce_weight", 0.5)
+        dw = kwargs.get("dice_weight", 0.5)
+        g = kwargs.get("focal_gamma", 2.0)
+        return lambda logits, targets, weight=None: (
+            fw * mc_focal_loss(logits, targets, gamma=g, weight=weight)
+            + dw * softmax_dice_loss(logits, targets, smooth, weight)
+        )
+    raise ValueError(f"unknown loss: {name!r}")
+
+
+def make_loss_fn(name: str, n_classes: int = 1, **kwargs):
     """Loss factory keyed by config names.
 
     'dice' and 'bce_dice' match the reference exactly; 'tversky', 'focal',
     and 'focal_dice' are beyond-reference options for foreground/background
-    imbalance. Returned fns take (logits, targets, weight=None)."""
+    imbalance. With ``n_classes >= 2`` each name maps to its softmax
+    multi-class analog (integer (N,...,1) label maps instead of binary
+    masks). Returned fns take (logits, targets, weight=None)."""
+    if n_classes >= 2:
+        return _make_multiclass_loss_fn(name, **kwargs)
     if name == "dice":
         smooth = kwargs.get("dice_smooth", 1.0)
         return lambda logits, targets, weight=None: dice_loss(

@@ -38,6 +38,8 @@ class CrossValidationTrainer:
             normalize=config.normalize,
             norm_percentiles=config.norm_percentiles,
             cache_dir=config.cache_dir,
+            n_classes=config.n_classes,
+            coregister=config.coregister,
         )
         self.splits = kfold_indices(
             len(self.dataset), n_splits=config.n_splits, seed=config.seed

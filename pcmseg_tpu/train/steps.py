@@ -182,6 +182,7 @@ def make_train_step(
     """
     loss_fn = loss_fn or make_loss_fn(
         config.loss,
+        n_classes=getattr(config, "n_classes", 1),
         dice_smooth=config.dice_smooth,
         bce_weight=config.bce_weight,
         dice_weight=config.dice_weight,
@@ -312,8 +313,10 @@ def make_eval_step(
     smaller D2H than probabilities) for host-side boundary metrics
     (ops/surface.py).
     """
+    n_classes = int(getattr(config, "n_classes", 1))
     loss_fn = loss_fn or make_loss_fn(
         config.loss,
+        n_classes=n_classes,
         dice_smooth=config.dice_smooth,
         bce_weight=config.bce_weight,
         dice_weight=config.dice_weight,
@@ -340,6 +343,49 @@ def make_eval_step(
         if has_bn:
             variables["batch_stats"] = state.batch_stats
         logits = state.apply_fn(variables, images, train=False)
+        if n_classes >= 2:
+            # integer label maps: nearest-resize the (N,...,1) map to the
+            # logits' spatial shape, never one-hot on the host
+            lab1 = labels if labels.ndim == logits.ndim else labels[..., None]
+            lab1 = align_labels(logits[..., :1], lab1)
+            loss = loss_fn(logits, lab1, weight)
+            # argmax label map; per-sample Dice/IoU per FOREGROUND class
+            # (1..K-1), reported as the per-sample mean over them — the
+            # multi-class generalization of the reference's binary Dice
+            pred_lab = jnp.argmax(logits.astype(jnp.float32), axis=-1)
+            n = pred_lab.shape[0]
+            lab_flat = lab1[..., 0].reshape(n, -1).astype(jnp.int32)
+            pred_flat = pred_lab.reshape(n, -1).astype(jnp.int32)
+            dices, ious = [], []
+            for c in range(1, n_classes):
+                p = (pred_flat == c).astype(jnp.float32)
+                t = (lab_flat == c).astype(jnp.float32)
+                inter = jnp.sum(p * t, axis=1)
+                psum, tsum = jnp.sum(p, axis=1), jnp.sum(t, axis=1)
+                dices.append((2.0 * inter) / (psum + tsum + EPS))
+                ious.append(inter / (psum + tsum - inter + EPS))
+            dice_c = jnp.stack(dices, axis=1)  # (N, K-1)
+            iou_c = jnp.stack(ious, axis=1)
+            dice = jnp.mean(dice_c, axis=1)
+            iou = jnp.mean(iou_c, axis=1)
+            w = (
+                weight.astype(jnp.float32)
+                if weight is not None
+                else jnp.ones((n,))
+            )
+            out = {
+                "loss": loss,
+                "dice": dice,
+                "iou": iou,
+                "dice_class": dice_c,
+                "iou_class": iou_c,
+                "dice_sum": jnp.sum(dice * w),
+                "iou_sum": jnp.sum(iou * w),
+                "weight_sum": jnp.sum(w),
+            }
+            if return_pred:
+                out["pred"] = pred_lab.astype(jnp.uint8)[..., None]
+            return out
         labels = align_labels(logits, labels)
         loss = loss_fn(logits, labels, weight)
 

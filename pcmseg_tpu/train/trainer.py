@@ -76,6 +76,8 @@ class Trainer:
             normalize=config.normalize,
             norm_percentiles=config.norm_percentiles,
             cache_dir=config.cache_dir,
+            n_classes=config.n_classes,
+            coregister=config.coregister,
         )
         if len(self.dataset) == 0:
             raise RuntimeError(
@@ -154,6 +156,11 @@ class Trainer:
                 ),
                 crop=config.train_crop,
                 oversample_fg=config.oversample_fg,
+                scale=config.aug_scale if aug_on else 0.0,
+                rotate_deg=config.aug_rotate_deg if aug_on else 0.0,
+                gamma=config.aug_gamma if aug_on else 0.0,
+                noise=config.aug_noise if aug_on else 0.0,
+                blur_prob=config.aug_blur_prob if aug_on else 0.0,
             )
         self.train_loader = DataLoader(
             self.dataset,
@@ -413,6 +420,14 @@ class Trainer:
         self.best_monitor = meta.get("best_monitor", float("inf"))
         self.start_epoch = int(meta.get("epoch", -1)) + 1
         self._epochs_run = self.start_epoch  # fresh shuffles after resume
+        # the streaming loaders' shuffle/augmentation streams are
+        # (seed, epoch)-derived from an internal counter — align it so
+        # the resumed run replays the same per-epoch order an
+        # uninterrupted run would have (the cached path gets this from
+        # _epochs_run already)
+        self.train_loader.set_epoch(self.start_epoch)
+        if self.val_loader is not None:
+            self.val_loader.set_epoch(self.start_epoch)
         if "scheduler" in meta:
             self.scheduler.load_state_dict(meta["scheduler"])
         if "early_stopping" in meta:
@@ -659,6 +674,8 @@ class Trainer:
             if self.val_loader is not None:
                 val = self.validate_epoch()
                 self.history["val_loss"].append(val["loss"])
+                self.history.setdefault("val_dice", []).append(val["dice"])
+                self.history.setdefault("val_iou", []).append(val["iou"])
                 monitor = val["loss"]
                 self.log.info(
                     "epoch %d: train %.4f val %.4f dice %.4f iou %.4f "
