@@ -83,3 +83,40 @@ def test_rot90_non_cubic_keeps_shape():
         img, lab = augment_sample(image, label, rng, flip=False, rot90=True,
                                   intensity_jitter=0.0)
         assert img.shape == image.shape and lab.shape == label.shape
+
+
+def test_random_crop_fg_flat_cache_equivalent(rng):
+    """The precomputed foreground-index fast path (ADVICE round-3 #1)
+    must draw exactly the same crops as the inline O(volume) scan."""
+    from pcmseg_tpu.data.augment import random_crop
+
+    img = rng.normal(size=(12, 12, 12, 2)).astype(np.float32)
+    lab = (rng.random((12, 12, 12, 1)) > 0.8).astype(np.uint8)
+    fg = np.flatnonzero(lab[..., 0] > 0)
+    for seed in range(6):
+        a_i, a_l = random_crop(
+            img, lab, np.random.default_rng(seed), (6, 6, 6),
+            oversample_fg=1.0,
+        )
+        b_i, b_l = random_crop(
+            img, lab, np.random.default_rng(seed), (6, 6, 6),
+            oversample_fg=1.0, fg_flat=fg,
+        )
+        np.testing.assert_array_equal(a_i, b_i)
+        np.testing.assert_array_equal(a_l, b_l)
+        assert a_l.sum() > 0  # forced-foreground crop contains fg
+
+
+def test_augmenter_caches_fg_indices(tmp_path, rng):
+    from pcmseg_tpu.data.augment import Augmenter
+
+    aug = Augmenter(seed=0, crop=(6, 6, 6), oversample_fg=1.0)
+    img = rng.normal(size=(12, 12, 12, 2)).astype(np.float32)
+    lab = (rng.random((12, 12, 12, 1)) > 0.8).astype(np.uint8)
+    sample = {"image": img, "label": lab, "case_id": "c0"}
+    out1 = aug(sample, epoch=0, index=0)
+    assert "c0" in aug._fg_cache
+    cached = aug._fg_cache["c0"]
+    out2 = aug(sample, epoch=0, index=0)
+    assert aug._fg_cache["c0"] is cached  # reused, not recomputed
+    np.testing.assert_array_equal(out1["label"], out2["label"])

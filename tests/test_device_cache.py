@@ -114,6 +114,112 @@ def test_device_augment_nonsquare_never_swaps_extents():
         assert a_lab.shape == lab.shape
 
 
+def test_device_augment_extended_transforms():
+    """The nnU-Net-style extensions (zoom/rotate/gamma/noise/blur) keep
+    shapes and dtypes, stay deterministic under a fixed key, preserve
+    label values, and run under jit."""
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.normal(size=(2, 8, 10, 10, 3)), jnp.float32)
+    lab = jnp.asarray(
+        rng.integers(0, 3, size=(2, 8, 10, 10, 1)), jnp.uint8
+    )
+    kwargs = dict(
+        flip=False, rot90=False, intensity_jitter=0.0,
+        scale=0.15, rotate_deg=20.0, gamma=0.3, noise=0.1, blur_prob=0.5,
+    )
+    fn = jax.jit(
+        lambda i, l, k: device_augment(i, l, k, **kwargs)
+    )
+    key = jax.random.key(11)
+    a_img, a_lab = fn(img, lab, key)
+    b_img, b_lab = fn(img, lab, key)
+    assert a_img.shape == img.shape and a_lab.shape == lab.shape
+    assert a_img.dtype == img.dtype and a_lab.dtype == lab.dtype
+    np.testing.assert_array_equal(np.asarray(a_img), np.asarray(b_img))
+    np.testing.assert_array_equal(np.asarray(a_lab), np.asarray(b_lab))
+    # nearest-neighbor warp introduces no new label values
+    assert set(np.unique(np.asarray(a_lab))) <= {0, 1, 2}
+    # the transforms actually changed the image
+    assert not np.allclose(np.asarray(a_img), np.asarray(img))
+
+
+def test_affine_warp_90deg_matches_rot90():
+    """angle=90° lands on exact integer coordinates, so the affine warp
+    must reproduce np.rot90 in the H-W plane exactly (trilinear weights
+    collapse to 0/1) — a closed-form correctness check of the warp
+    math."""
+    from pcmseg_tpu.data.device_cache import _affine_warp
+
+    rng = np.random.default_rng(3)
+    img = rng.normal(size=(4, 6, 6, 2)).astype(np.float32)
+    lab = rng.integers(0, 2, size=(4, 6, 6, 1)).astype(np.uint8)
+    out_i, out_l = _affine_warp(
+        jnp.asarray(img), jnp.asarray(lab),
+        jnp.float32(np.pi / 2), jnp.float32(1.0),
+    )
+    matches = [
+        (k, np.allclose(np.asarray(out_i), np.rot90(img, k=k, axes=(1, 2)),
+                        atol=1e-4))
+        for k in (1, 3)
+    ]
+    hits = [k for k, ok in matches if ok]
+    assert len(hits) == 1, matches  # exactly one orientation matches
+    k = hits[0]
+    np.testing.assert_array_equal(
+        np.asarray(out_l), np.rot90(lab, k=k, axes=(1, 2))
+    )
+
+
+def test_affine_warp_identity_is_noop():
+    from pcmseg_tpu.data.device_cache import _affine_warp
+
+    rng = np.random.default_rng(4)
+    img = rng.normal(size=(5, 7, 6, 2)).astype(np.float32)
+    lab = rng.integers(0, 2, size=(5, 7, 6, 1)).astype(np.uint8)
+    out_i, out_l = _affine_warp(
+        jnp.asarray(img), jnp.asarray(lab), jnp.float32(0.0), jnp.float32(1.0)
+    )
+    np.testing.assert_allclose(np.asarray(out_i), img, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out_l), lab)
+
+
+def test_separable_blur_smooths():
+    from pcmseg_tpu.data.device_cache import _separable_blur
+
+    rng = np.random.default_rng(5)
+    img = rng.normal(size=(8, 8, 8, 1)).astype(np.float32)
+    out = np.asarray(_separable_blur(jnp.asarray(img), jnp.float32(1.0)))
+    assert out.shape == img.shape
+    assert out.std() < img.std()  # blur reduces variance
+    # blur preserves the mean (kernel sums to 1); edge-padding skews it
+    # only slightly
+    np.testing.assert_allclose(out.mean(), img.mean(), atol=0.05)
+
+
+def test_host_augment_extended_transforms():
+    """Host twin (data/augment.py): same transform set via scipy."""
+    from pcmseg_tpu.data.augment import augment_sample
+
+    rng_img = np.random.default_rng(6)
+    img = rng_img.normal(size=(8, 10, 10, 3)).astype(np.float32)
+    lab = rng_img.integers(0, 3, size=(8, 10, 10, 1)).astype(np.uint8)
+    kwargs = dict(
+        flip=False, rot90=False, intensity_jitter=0.0,
+        scale=0.15, rotate_deg=20.0, gamma=0.3, noise=0.1, blur_prob=1.0,
+    )
+    a_i, a_l = augment_sample(
+        img, lab, np.random.default_rng(9), **kwargs
+    )
+    b_i, b_l = augment_sample(
+        img, lab, np.random.default_rng(9), **kwargs
+    )
+    assert a_i.shape == img.shape and a_l.shape == lab.shape
+    np.testing.assert_array_equal(a_i, b_i)
+    np.testing.assert_array_equal(a_l, b_l)
+    assert set(np.unique(a_l)) <= {0, 1, 2}
+    assert not np.allclose(a_i, img)
+
+
 def test_cached_epoch_matches_streaming_sharded(data_root, tmp_path):
     """Sharded mesh: HBM stacks shard over ('data','spatial'), batches are
     gathered inside jit with GSPMD collectives — must reproduce the

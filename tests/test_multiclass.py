@@ -1,0 +1,246 @@
+"""Multi-class (n_classes >= 2) segmentation end-to-end.
+
+The reference's CLI surface builds ``UNet3D(n_modalities=5, n_classes=2)``
+(/root/reference/run.py:130) but its losses, validator and predictor are
+binary-only (SURVEY.md §8.4). Here n_classes >= 2 is a real capability:
+softmax losses (ops/losses.py multi-class section), argmax eval metrics
+(train/steps.py), per-class validation (infer/validate.py), label-map
+prediction output (infer/predict.py), and integer labels through the
+dataset (data/dataset.py).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcmseg_tpu.core.config import get_config
+from pcmseg_tpu.ops.losses import (
+    ce_loss,
+    make_loss_fn,
+    mc_focal_loss,
+    mc_tversky_loss,
+    one_hot_targets,
+    softmax_dice_loss,
+)
+
+LOSS_NAMES = ("dice", "bce_dice", "tversky", "focal", "focal_dice")
+
+
+def _random_batch(rng, k=3, n=2, s=8):
+    logits = jnp.asarray(rng.normal(size=(n, s, s, s, k)), jnp.float32)
+    labels = jnp.asarray(
+        rng.integers(0, k, size=(n, s, s, s, 1)), jnp.uint8
+    )
+    return logits, labels
+
+
+class TestMulticlassLosses:
+    def test_perfect_prediction_near_zero(self, rng):
+        _, labels = _random_batch(rng)
+        # huge logits at the true class -> probs ~ one-hot
+        logits = 50.0 * one_hot_targets(labels, 3)
+        assert float(softmax_dice_loss(logits, labels)) < 1e-3
+        assert float(ce_loss(logits, labels)) < 1e-3
+        assert float(mc_tversky_loss(logits, labels)) < 1e-3
+
+    def test_ce_matches_manual(self, rng):
+        logits, labels = _random_batch(rng, k=3, n=1, s=4)
+        logp = jax.nn.log_softmax(np.asarray(logits), axis=-1)
+        lab = np.asarray(labels)[..., 0]
+        manual = -np.take_along_axis(
+            np.asarray(logp), lab[..., None], axis=-1
+        ).mean()
+        np.testing.assert_allclose(
+            float(ce_loss(logits, labels)), manual, rtol=1e-5
+        )
+
+    def test_focal_gamma0_is_ce(self, rng):
+        logits, labels = _random_batch(rng)
+        np.testing.assert_allclose(
+            float(mc_focal_loss(logits, labels, gamma=0.0)),
+            float(ce_loss(logits, labels)),
+            rtol=1e-5,
+        )
+
+    def test_zero_weight_sample_excluded(self, rng):
+        logits, labels = _random_batch(rng, n=2)
+        w = jnp.asarray([1.0, 0.0])
+        full = softmax_dice_loss(logits[:1], labels[:1])
+        masked = softmax_dice_loss(logits, labels, weight=w)
+        np.testing.assert_allclose(float(masked), float(full), rtol=1e-5)
+        np.testing.assert_allclose(
+            float(ce_loss(logits, labels, weight=w)),
+            float(ce_loss(logits[:1], labels[:1])),
+            rtol=1e-5,
+        )
+
+    @pytest.mark.parametrize("name", LOSS_NAMES)
+    def test_factory_dispatch_finite_grads(self, rng, name):
+        logits, labels = _random_batch(rng)
+        fn = make_loss_fn(name, n_classes=3)
+        loss, g = jax.value_and_grad(lambda lg: fn(lg, labels))(logits)
+        assert np.isfinite(float(loss))
+        assert 0.0 <= float(loss)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_tversky_equals_dice_at_half(self, rng):
+        # exact identity only at smooth=0: with s>0 the +s terms scale
+        # differently (tversky denom is (Σp+Σt)/2 + s vs Σp+Σt+s)
+        logits, labels = _random_batch(rng)
+        np.testing.assert_allclose(
+            float(
+                mc_tversky_loss(logits, labels, alpha=0.5, beta=0.5, smooth=0.0)
+            ),
+            float(softmax_dice_loss(logits, labels, smooth=0.0)),
+            rtol=1e-5,
+        )
+
+
+class TestMulticlassEvalStep:
+    def test_argmax_metrics(self, rng):
+        from pcmseg_tpu.models import UNet3D
+        from pcmseg_tpu.train.steps import (
+            create_train_state,
+            make_eval_step,
+        )
+
+        config = get_config(
+            "quick", n_classes=3, base_features=4, target_size=(16, 16, 16),
+            compute_dtype="float32", remat=False,
+        )
+        model = UNet3D.from_config(config)
+        state = create_train_state(
+            config, jax.random.key(0), model, (1, 16, 16, 16, 5)
+        )
+        batch = {
+            "image": jnp.asarray(
+                rng.normal(size=(2, 16, 16, 16, 5)), jnp.float32
+            ),
+            "label": jnp.asarray(
+                rng.integers(0, 3, size=(2, 16, 16, 16, 1)), jnp.uint8
+            ),
+        }
+        m = jax.jit(make_eval_step(model, config, return_pred=True))(
+            state, batch
+        )
+        assert m["dice"].shape == (2,)
+        assert m["dice_class"].shape == (2, 2)  # K-1 foreground classes
+        assert np.isfinite(float(m["loss"]))
+        pred = np.asarray(m["pred"])
+        assert pred.shape == (2, 16, 16, 16, 1)
+        assert set(np.unique(pred)) <= {0, 1, 2}
+        # per-sample dice == mean over the two foreground classes
+        np.testing.assert_allclose(
+            np.asarray(m["dice"]),
+            np.asarray(m["dice_class"]).mean(axis=1),
+            rtol=1e-5,
+        )
+
+
+class TestMulticlassData:
+    def test_dataset_preserves_classes(self, tmp_path):
+        from pcmseg_tpu.data.dataset import ProstateDataset
+        from pcmseg_tpu.data.synthetic import make_synthetic_dataset
+
+        make_synthetic_dataset(
+            str(tmp_path), n_cases=2, shape=(20, 20, 20), n_classes=3
+        )
+        ds = ProstateDataset(
+            str(tmp_path), target_size=(16, 16, 16), cache_dir=None,
+            n_classes=3,
+        )
+        s = ds[0]
+        vals = set(np.unique(s["label"]))
+        assert vals <= {0, 1, 2} and len(vals) >= 2
+
+        # binary dataset over the same tree still binarizes
+        ds_bin = ProstateDataset(
+            str(tmp_path), target_size=(16, 16, 16), cache_dir=None
+        )
+        assert set(np.unique(ds_bin[0]["label"])) <= {0, 1}
+
+
+class TestMulticlassPostprocess:
+    def test_labelmap_filtering(self):
+        from pcmseg_tpu.infer.postprocess import postprocess_labelmap
+
+        lab = np.zeros((12, 12, 12), np.uint8)
+        lab[2:6, 2:6, 2:6] = 1       # big class-1 blob
+        lab[9, 9, 9] = 1             # class-1 speckle
+        lab[2:5, 8:11, 2:5] = 2      # class-2 blob
+        lab[10, 2, 10] = 2           # class-2 speckle
+        out = postprocess_labelmap(lab, mode="largest_cc")
+        assert out[3, 3, 3] == 1 and out[9, 9, 9] == 0
+        assert out[3, 9, 3] == 2 and out[10, 2, 10] == 0
+
+
+@pytest.mark.slow
+class TestMulticlassEndToEnd:
+    def test_train_validate_predict(self, tmp_path):
+        """3-class cohort: train improves, validator reports per-class
+        Dice, predictor writes an integer label map."""
+        from pcmseg_tpu.data.io import read_volume
+        from pcmseg_tpu.data.synthetic import make_synthetic_dataset
+        from pcmseg_tpu.infer.predict import Predictor
+        from pcmseg_tpu.infer.validate import Validator
+        from pcmseg_tpu.train.trainer import Trainer
+
+        root = str(tmp_path / "data")
+        make_synthetic_dataset(
+            root, n_cases=6, shape=(24, 24, 24), n_classes=3, seed=7
+        )
+        config = get_config(
+            "quick",
+            data_dir=root,
+            save_dir=str(tmp_path / "ckpt"),
+            n_classes=3,
+            base_features=4,
+            target_size=(16, 16, 16),
+            num_epochs=8,
+            learning_rate=3e-3,
+            batch_size=2,
+            validation=True,
+            val_fraction=0.34,
+            compute_dtype="float32",
+            remat=False,
+            cache_dir=None,
+            early_stopping=False,
+        )
+        trainer = Trainer(config)
+        history = trainer.train()
+        assert np.isfinite(history["train_loss"]).all()
+        dices = history["val_dice"]
+        assert dices[-1] > dices[0]  # learning something
+
+        ckpt = os.path.join(config.save_dir, "latest")
+        v = Validator(config, ckpt)
+        res = v.validate(save=True)
+        assert "avg_dice_per_class" in res
+        assert set(res["avg_dice_per_class"]) == {"1", "2"}
+        rec = res["case_results"][0]
+        assert set(rec["dice_per_class"]) == {"1", "2"}
+        np.testing.assert_allclose(
+            rec["dice"],
+            np.mean(list(rec["dice_per_class"].values())),
+            rtol=1e-5,
+        )
+
+        # predict a case dir (one subdir per modality) -> integer label map
+        import shutil
+
+        case_dir = str(tmp_path / "case000")
+        for m in config.modalities:
+            os.makedirs(os.path.join(case_dir, m))
+            shutil.copy(
+                os.path.join(root, "BPH-PCA", "BPH", m, "case000.nii.gz"),
+                os.path.join(case_dir, m, "image.nii.gz"),
+            )
+        pred = Predictor(config.replace(postprocess="largest_cc"), ckpt)
+        out = pred.predict_and_save(
+            case_dir, str(tmp_path / "out" / "seg.nii.gz")
+        )
+        vol = read_volume(out)
+        assert set(np.unique(vol.data)) <= {0, 1, 2}

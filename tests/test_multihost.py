@@ -66,49 +66,63 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_cluster(tmp_path, mode: str) -> str:
-    """Spawn the 2-process gloo cluster; returns the shared ckpt dir."""
-    root = str(tmp_path / "data")
-    make_synthetic_dataset(root, n_cases=6, shape=(12, 12, 12), seed=7)
+def _spawn_cluster(tmp_path, mode: str, n_processes: int, root: str,
+                   ckpt: str):
+    """Spawn the n-process gloo cluster (8 virtual devices split evenly)."""
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
 
     from __graft_entry__ import force_host_device_count_flags
 
     env = dict(os.environ)
-    env["XLA_FLAGS"] = force_host_device_count_flags(env.get("XLA_FLAGS", ""), 4)
+    env["XLA_FLAGS"] = force_host_device_count_flags(
+        env.get("XLA_FLAGS", ""), 8 // n_processes
+    )
     env["JAX_PLATFORMS"] = "cpu"
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
 
-    procs = [
+    return [
         subprocess.Popen(
-            [sys.executable, worker, str(pid), str(port), root,
-             str(tmp_path / "ckpt"), mode],
+            [sys.executable, worker, str(pid), str(port), root, ckpt,
+             mode, str(n_processes)],
             env=env,
             cwd=repo_root,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
         )
-        for pid in (0, 1)
+        for pid in range(n_processes)
     ]
-    outs = [p.communicate(timeout=1100)[0] for p in procs]
+
+
+def _collect_losses(procs, timeout=1100):
+    outs = [p.communicate(timeout=timeout)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
-
     losses = [
         re.search(r"MULTIHOST_OK pid=\d+ losses=([\d.,-]+)", out).group(1)
         for out in outs
     ]
     # global-reduction losses must be bit-identical across processes
-    assert losses[0] == losses[1], losses
+    assert all(l == losses[0] for l in losses), losses
+    return losses[0]
 
-    # the primary wrote a resumable checkpoint; the secondary wrote none
+
+def _run_cluster(tmp_path, mode: str, n_processes: int = 2,
+                 n_cases: int = 6) -> str:
+    """Spawn the cluster; returns the shared ckpt dir."""
+    root = str(tmp_path / "data")
+    make_synthetic_dataset(root, n_cases=n_cases, shape=(12, 12, 12), seed=7)
+    ckpt = str(tmp_path / "ckpt")
+    procs = _spawn_cluster(tmp_path, mode, n_processes, root, ckpt)
+    _collect_losses(procs)
+
+    # the primary wrote a resumable checkpoint; the others wrote none
     from pcmseg_tpu.train.checkpoints import checkpoint_exists
 
-    assert checkpoint_exists(str(tmp_path / "ckpt"), "latest")
-    return str(tmp_path / "ckpt")
+    assert checkpoint_exists(ckpt, "latest")
+    return ckpt
 
 
 def test_two_process_training_cluster(tmp_path):
@@ -135,6 +149,67 @@ def test_two_process_cluster_async_checkpoints(tmp_path):
     from pcmseg_tpu.train.checkpoints import checkpoint_exists
 
     assert checkpoint_exists(ckpt, "best")
+
+
+def test_four_process_training_cluster(tmp_path):
+    """4 processes × 2 virtual devices, UNEVEN per-process case counts
+    (7 cases over 4 processes → 2/2/2/1): the loader's process shards
+    stay aligned via weight-masked padding and losses are bit-identical
+    on every process (VERDICT round-3 next #8)."""
+    _run_cluster(tmp_path, "sync", n_processes=4, n_cases=7)
+
+
+def test_cluster_kill_one_process_then_resume(tmp_path):
+    """Fault injection: process 1 hard-dies after the first step of
+    epoch 1; the durable epoch-0 'latest' survives (atomic saves), and a
+    full-cluster restart with resume=True reproduces the uninterrupted
+    reference run's losses bit-identically (VERDICT round-3 next #8)."""
+    import json
+    import time
+
+    root = str(tmp_path / "data")
+    make_synthetic_dataset(root, n_cases=6, shape=(12, 12, 12), seed=7)
+
+    # (a) uninterrupted reference: 3 epochs straight
+    ref_ckpt = str(tmp_path / "ckpt_ref")
+    ref_losses = _collect_losses(
+        _spawn_cluster(tmp_path, "ref", 4, root, ref_ckpt)
+    )
+    assert ref_losses.count(",") == 2  # 3 epochs
+
+    # (b) crash run: pid 1 os._exit(1)s mid-epoch-1; reap the survivors
+    # (they block in a collective against the dead peer)
+    ckpt = str(tmp_path / "ckpt_crash")
+    procs = _spawn_cluster(tmp_path, "crash", 4, root, ckpt)
+    deadline = time.time() + 1100
+    while procs[1].poll() is None and time.time() < deadline:
+        time.sleep(1.0)
+    assert procs[1].poll() == 1, "worker 1 should have crashed with rc 1"
+    # give survivors a moment, then terminate the hung ones
+    time.sleep(2.0)
+    for p in (procs[0], procs[2], procs[3]):
+        if p.poll() is None:
+            p.terminate()
+    for p in procs:
+        try:
+            p.communicate(timeout=60)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            p.communicate()
+
+    # the epoch-0 checkpoint survived the mid-epoch-1 cluster death
+    from pcmseg_tpu.train.checkpoints import checkpoint_exists
+
+    assert checkpoint_exists(ckpt, "latest")
+    meta = json.load(open(os.path.join(ckpt, "latest", "meta.json")))
+    assert meta["epoch"] == 0
+
+    # (c) restart the WHOLE cluster with resume=True → bit-identical
+    # continuation (epoch 0 restored from history, epochs 1-2 recomputed)
+    res_losses = _collect_losses(
+        _spawn_cluster(tmp_path, "resume", 4, root, ckpt)
+    )
+    assert res_losses == ref_losses, (res_losses, ref_losses)
 
 
 def test_make_global_batch_single_process():

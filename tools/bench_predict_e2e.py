@@ -52,6 +52,10 @@ def main():
                          "in every axis → real overlap tiling)")
     ap.add_argument("--window", type=int, nargs=3, default=[128, 128, 128])
     ap.add_argument("--base_features", type=int, default=64)
+    ap.add_argument("--device_ingest", action="store_true",
+                    help="normalize+cast+stack on the chip (raw int16 "
+                         "upload) instead of the host C++ fused pass — "
+                         "the round-4 serving-ingest A/B arm")
     args = ap.parse_args()
 
     import jax
@@ -80,6 +84,7 @@ def main():
             window_blend="gaussian",
             normalize="percentile",
             save_dir=os.path.join(tmp, "ckpt"),
+            device_ingest=args.device_ingest,
         )
 
         # weights: fresh init (timing is weight-independent); saved through
@@ -137,6 +142,7 @@ def main():
         "cold_total_s": round(cold_s, 2),
         "steady_s_per_case": round(warm_s / (2 * n), 3),
         "steady_mvox_per_s": round(vox * 2 * n / warm_s / 1e6, 2),
+        "device_ingest": bool(args.device_ingest),
         "backend": jax.default_backend(),
     }
     print(json.dumps(report, indent=2))

@@ -1,0 +1,251 @@
+#!/usr/bin/env python
+"""Flagship-scale cross-framework Dice scoring — VERDICT round-3 #3.
+
+Trains OUR stack at the flagship config (128^3, base 64, 5 modalities) on
+a synthetic BPH cohort on the TPU, exports the best checkpoint to a
+reference-compatible .pth, and scores the SAME held-out cases through
+
+  (a) the reference's ACTUAL ``ModelValidator.validate()`` code path
+      (/root/reference/script/validate_model.py:188-273 — torch CPU,
+      forward-only), and
+  (b) our ``infer.validate.Validator`` (fp32 eval for a like-for-like
+      comparison with the fp32 torch forward),
+
+then reports per-case Dice agreement. This closes BASELINE.json's
+"checkpoint/output formats match ... on Dice" at the scale that matters
+(the round-3 gate covered strict-load + logits at small scale only).
+
+Plumbing notes: the reference validator's own data wiring is broken
+(``get_dataloader(mode=..., handle_missing_modalities=...)`` — kwargs its
+loader factory doesn't accept, SURVEY.md §8.1) and it imports SimpleITK
+(not installed). Both are routed around exactly as the reference user
+would have to: SimpleITK is stubbed at import and the loader factory is
+replaced with one serving OUR preprocessed val cases (identical inputs to
+both frameworks — the comparison isolates model forward + scoring).
+
+Usage: python tools/flagship_cross_validate.py [--epochs 30] [--cases 12]
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+import types
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from pcmseg_tpu.core.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def train_flagship(args, root, save_dir):
+    """Train our flagship config on the synthetic cohort; returns
+    (config, dataset, val_indices, best_val_dice)."""
+    from pcmseg_tpu.core.config import get_config
+    from pcmseg_tpu.train.trainer import Trainer
+
+    config = get_config(
+        "high_performance",
+        data_dir=root,
+        save_dir=save_dir,
+        target_size=(args.size,) * 3,
+        base_features=args.features,
+        batch_size=args.batch,
+        accum_steps=args.accum,
+        remat=False,
+        num_epochs=args.epochs,
+        learning_rate=args.lr,
+        validation=True,
+        val_fraction=args.val_cases / args.cases,
+        early_stopping=False,
+        seed=42,
+        async_checkpoint=True,  # overlap the ~1 GB D2H saves (BENCH.md)
+    )
+    trainer = Trainer(config)
+    t0 = time.perf_counter()
+    history = trainer.train()
+    dt = time.perf_counter() - t0
+    best = float(max(history.get("val_dice", [float("nan")])))
+    print(
+        json.dumps({
+            "train_seconds": round(dt, 1),
+            "epochs": args.epochs,
+            "best_val_dice": round(best, 4),
+        }),
+        flush=True,
+    )
+    return config, trainer.dataset, list(trainer.val_indices), best
+
+
+def export_pth(config, save_dir, out_path):
+    from pcmseg_tpu.infer.validate import load_model_state
+    from pcmseg_tpu.train.checkpoints import export_torch_checkpoint
+
+    _, state = load_model_state(config, os.path.join(save_dir, "best"))
+    export_torch_checkpoint(
+        out_path, state, meta={"config": config.to_dict()}
+    )
+    return out_path
+
+
+def reference_validate(pth_path, samples, save_dir):
+    """Run the REAL reference ModelValidator.validate() over ``samples``
+    (list of {'image': (D,H,W,C) f32, 'label': (D,H,W,1) u8, 'case_id'})."""
+    import torch
+
+    # SimpleITK isn't installed; the validator imports it but its
+    # validate() loop never touches it
+    sys.modules.setdefault("SimpleITK", types.ModuleType("SimpleITK"))
+
+    # replace the (broken-signature) loader factory with one serving our
+    # preprocessed arrays — identical inputs to both frameworks
+    batches = []
+    for s in samples:
+        img = torch.from_numpy(
+            np.transpose(
+                np.asarray(s["image"], np.float32), (3, 0, 1, 2)
+            )[None]
+        )
+        lab = torch.from_numpy(
+            np.transpose(
+                np.asarray(s["label"], np.float32), (3, 0, 1, 2)
+            )[None]
+        )
+        batches.append(
+            {"image": img, "label": lab, "case_id": [s["case_id"]]}
+        )
+
+    fake_loader_mod = types.ModuleType("script.data_loader")
+    fake_loader_mod.get_dataloader = lambda *a, **k: batches
+    script_pkg = types.ModuleType("script")
+    script_pkg.data_loader = fake_loader_mod
+    sys.modules["script"] = script_pkg
+    sys.modules["script.data_loader"] = fake_loader_mod
+
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        # import by file path: the stubbed 'script' package above hides
+        # the real one, which is exactly what we want for data_loader —
+        # validate_model itself we load from its file
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_validate_model",
+            os.path.join(REFERENCE_ROOT, "script", "validate_model.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+
+    torch.set_num_threads(os.cpu_count() or 1)
+    config = {
+        "model_path": pth_path,
+        "data_dir": "unused",
+        "batch_size": 1,
+        "device": "cpu",
+        "data_type": "BPH",
+        "save_dir": save_dir,
+    }
+    t0 = time.perf_counter()
+    validator = mod.ModelValidator(config)
+    avg_dice, avg_iou = validator.validate()
+    dt = time.perf_counter() - t0
+    with open(os.path.join(save_dir, "validation_results.json")) as f:
+        results = json.load(f)
+    print(
+        json.dumps({
+            "ref_validate_seconds": round(dt, 1),
+            "ref_avg_dice": round(float(avg_dice), 6),
+        }),
+        flush=True,
+    )
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cases", type=int, default=12)
+    ap.add_argument("--val_cases", type=int, default=4)
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--source_size", type=int, default=96)
+    ap.add_argument("--features", type=int, default=64)
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--accum", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--tolerance", type=float, default=2e-3,
+                    help="max allowed per-case |Dice_ours - Dice_ref|")
+    args = ap.parse_args()
+
+    from pcmseg_tpu.data.synthetic import make_synthetic_dataset
+    from pcmseg_tpu.infer.validate import Validator
+
+    with tempfile.TemporaryDirectory() as root:
+        s = args.source_size
+        make_synthetic_dataset(
+            root, n_cases=args.cases, data_type="BPH",
+            shape=(s, s, s), seed=42,
+        )
+        save_dir = os.path.join(root, "ckpt")
+        config, dataset, val_idx, best = train_flagship(args, root, save_dir)
+
+        pth = os.path.join(root, "flagship.pth")
+        export_pth(config, save_dir, pth)
+        print(f"exported {os.path.getsize(pth)/1e6:.0f} MB .pth", flush=True)
+
+        # identical preprocessed inputs for both frameworks
+        samples = [dataset[i] for i in val_idx]
+
+        ref_dir = os.path.join(root, "ref_results")
+        os.makedirs(ref_dir, exist_ok=True)
+        ref = reference_validate(pth, samples, ref_dir)
+
+        # ours: fp32 eval (like-for-like vs the fp32 torch forward),
+        # scoring the exported-and-reimported .pth so the comparison also
+        # covers the export/import round trip
+        ours_cfg = config.replace(
+            compute_dtype="float32", save_dir=os.path.join(root, "ours"),
+            batch_size=1, normalize=config.normalize,
+        )
+        v = Validator(
+            ours_cfg, pth, dataset=dataset, indices=val_idx,
+            explicit=("normalize",),
+        )
+        ours = v.validate(save=False)
+
+        ref_by_case = {r["case_id"]: r["dice"] for r in ref["case_results"]}
+        rows, max_diff = [], 0.0
+        for r in ours["case_results"]:
+            rd = ref_by_case[r["case_id"]]
+            diff = abs(r["dice"] - rd)
+            max_diff = max(max_diff, diff)
+            rows.append({
+                "case_id": r["case_id"],
+                "dice_ours": round(r["dice"], 6),
+                "dice_ref": round(rd, 6),
+                "abs_diff": round(diff, 6),
+            })
+        report = {
+            "flagship": f"{args.size}^3 base {args.features}",
+            "best_val_dice_during_training": best,
+            "cases": rows,
+            "avg_dice_ours": round(ours["avg_dice"], 6),
+            "avg_dice_ref": round(ref["avg_dice"], 6),
+            "max_abs_diff": round(max_diff, 6),
+            "tolerance": args.tolerance,
+            "pass": bool(max_diff <= args.tolerance),
+        }
+        print(json.dumps(report, indent=1))
+        return 0 if report["pass"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
