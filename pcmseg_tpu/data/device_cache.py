@@ -212,68 +212,82 @@ def _affine_warp(
     ((D,H,W,C), (D,H,W,1)) pair about the volume center — trilinear for
     the image, nearest for the label, edge-clamped sampling.
 
-    One fused gather pass (8 corner gathers + lerp weights), built from
-    a static coordinate grid and a traced 2x2 rotation — jit-friendly
-    (static shapes, no host sync). nnU-Net's spatial augmentation does
-    the same warp on the host per patch; here it runs on the TPU over
-    the cached batch (the VPU cost is measured in BENCH.md round-4
-    "Extended device augmentation").
+    TPU-shaped lowering: the transform FACTORIZES (z depends only on z;
+    (y,x) only on (y,x)), so instead of eight full-volume gathers with
+    per-voxel 3-D indices (XLA's generic-gather slow path — measured
+    ~2x the whole train step at 128³), the warp is a 1-D linear resample
+    along z (two ``jnp.take`` with a (D,) index vector) followed by four
+    corner gathers over the flattened H·W axis with ONE shared (H·W,)
+    index vector for all z-slices and channels. Same math, same result,
+    ~10x cheaper on the chip (BENCH.md round-4 "Extended device
+    augmentation").
     """
     d, h, w = img.shape[:3]
     zc, yc, xc = (d - 1) / 2.0, (h - 1) / 2.0, (w - 1) / 2.0
-    zz, yy, xx = jnp.meshgrid(
-        jnp.arange(d, dtype=jnp.float32),
+    inv = 1.0 / scale
+    cos, sin = jnp.cos(angle), jnp.sin(angle)
+
+    # ---- z axis: 1-D linear resample (indices shape (D,)) ---------------
+    zz = jnp.arange(d, dtype=jnp.float32)
+    src_z = (zz - zc) * inv + zc
+    z0 = jnp.clip(jnp.floor(src_z), 0, d - 1)
+    fz = (src_z - z0)[:, None, None, None]
+    z0i = z0.astype(jnp.int32)
+    z1i = jnp.minimum(z0i + 1, d - 1)
+
+    # ---- H-W plane: rotation+zoom with one shared (H*W,) index set ------
+    yy, xx = jnp.meshgrid(
         jnp.arange(h, dtype=jnp.float32),
         jnp.arange(w, dtype=jnp.float32),
         indexing="ij",
     )
-    # inverse map: output voxel -> source coordinate (rotate by -angle,
-    # scale by 1/scale about the center)
-    inv = 1.0 / scale
-    cos, sin = jnp.cos(angle), jnp.sin(angle)
     ys, xs = yy - yc, xx - xc
-    src_z = (zz - zc) * inv + zc
     src_y = (cos * ys + sin * xs) * inv + yc
     src_x = (-sin * ys + cos * xs) * inv + xc
-
-    z0 = jnp.clip(jnp.floor(src_z), 0, d - 1)
     y0 = jnp.clip(jnp.floor(src_y), 0, h - 1)
     x0 = jnp.clip(jnp.floor(src_x), 0, w - 1)
-    fz, fy, fx = src_z - z0, src_y - y0, src_x - x0
-    z0i = z0.astype(jnp.int32)
+    fy = src_y - y0
+    fx = src_x - x0
     y0i = y0.astype(jnp.int32)
     x0i = x0.astype(jnp.int32)
-    z1i = jnp.minimum(z0i + 1, d - 1)
     y1i = jnp.minimum(y0i + 1, h - 1)
     x1i = jnp.minimum(x0i + 1, w - 1)
 
-    def gather(vol, zi, yi, xi):
-        return vol[zi, yi, xi]  # advanced indexing -> one XLA gather
+    def flat(yi, xi):
+        return (yi * w + xi).reshape(-1)
 
-    def trilerp(vol):
-        c000 = gather(vol, z0i, y0i, x0i)
-        c001 = gather(vol, z0i, y0i, x1i)
-        c010 = gather(vol, z0i, y1i, x0i)
-        c011 = gather(vol, z0i, y1i, x1i)
-        c100 = gather(vol, z1i, y0i, x0i)
-        c101 = gather(vol, z1i, y0i, x1i)
-        c110 = gather(vol, z1i, y1i, x0i)
-        c111 = gather(vol, z1i, y1i, x1i)
-        wz, wy, wx = (f[..., None] for f in (fz, fy, fx))
-        c00 = c000 * (1 - wx) + c001 * wx
-        c01 = c010 * (1 - wx) + c011 * wx
-        c10 = c100 * (1 - wx) + c101 * wx
-        c11 = c110 * (1 - wx) + c111 * wx
-        c0 = c00 * (1 - wy) + c01 * wy
-        c1 = c10 * (1 - wy) + c11 * wy
-        return c0 * (1 - wz) + c1 * wz
+    def plane_lerp(vol):  # vol: (D, H*W, C) f32
+        c00 = jnp.take(vol, flat(y0i, x0i), axis=1)
+        c01 = jnp.take(vol, flat(y0i, x1i), axis=1)
+        c10 = jnp.take(vol, flat(y1i, x0i), axis=1)
+        c11 = jnp.take(vol, flat(y1i, x1i), axis=1)
+        wy = fy.reshape(1, -1, 1)
+        wx = fx.reshape(1, -1, 1)
+        c0 = c00 * (1 - wx) + c01 * wx
+        c1 = c10 * (1 - wx) + c11 * wx
+        return c0 * (1 - wy) + c1 * wy
 
-    out_img = trilerp(img.astype(jnp.float32)).astype(img.dtype)
-    # label: nearest neighbor (round the source coordinate)
+    x32 = img.astype(jnp.float32)
+    # z first (fewer elements before the 4-corner plane pass when
+    # zooming out; same result either order — the axes are independent)
+    img_z = (
+        jnp.take(x32, z0i, axis=0) * (1 - fz)
+        + jnp.take(x32, z1i, axis=0) * fz
+    )
+    out_img = (
+        plane_lerp(img_z.reshape(d, h * w, -1))
+        .reshape(d, h, w, img.shape[3])
+        .astype(img.dtype)
+    )
+
+    # label: nearest neighbor along both factors
     zn = jnp.clip(jnp.round(src_z), 0, d - 1).astype(jnp.int32)
     yn = jnp.clip(jnp.round(src_y), 0, h - 1).astype(jnp.int32)
     xn = jnp.clip(jnp.round(src_x), 0, w - 1).astype(jnp.int32)
-    out_lab = gather(lab, zn, yn, xn)
+    lab_z = jnp.take(lab, zn, axis=0)
+    out_lab = jnp.take(
+        lab_z.reshape(d, h * w, -1), flat(yn, xn), axis=1
+    ).reshape(d, h, w, lab.shape[3])
     return out_img, out_lab
 
 
@@ -431,7 +445,7 @@ def device_random_crop(
     foreground voxel of its label: argmax of iid noise masked to the
     label support picks the voxel (one fused elementwise+reduce pass,
     ~2M voxels at 128³ — measured cost of the whole oversample path is
-    +0.9% step time at 96³ crops, BENCH.md round-4 crop sweep; the
+    +1.4% step time at 96³ crops, BENCH.md round-4 crop sweep; the
     reduce stays live for uniform-path samples too since ``jnp.where``
     keeps both branches — acceptable at that cost, per ADVICE round-3
     #3), then each axis offset is drawn uniformly from the clipped

@@ -43,12 +43,11 @@ def main() -> int:
     nproc = int(sys.argv[6]) if len(sys.argv) > 6 else 2
     async_ckpt = mode == "async"
     use_cache = mode == "cache"
-    # persistent compile cache: the SPMD program is identical across
-    # processes and across the crash->resume restart, so on the 1-core CI
-    # host the cache collapses 4x-per-run recompiles into one
-    from pcmseg_tpu.core.cache import enable_compilation_cache
-
-    enable_compilation_cache()
+    # NOTE: no persistent compile cache here — measured on the 1-core
+    # host, a cache HIT on one process while a peer still compiles skews
+    # their arrival at the first collective past gloo's 30 s
+    # context-init timeout (GetKeyValue DEADLINE_EXCEEDED) and kills the
+    # cluster; compiling in lockstep is slower but reliable.
     multihost.initialize(
         f"localhost:{port}", num_processes=nproc, process_id=pid
     )

@@ -133,6 +133,9 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--cases", type=int, default=8)
     ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--only_strong", action="store_true",
+                    help="re-measure only the strong-augmentation arms "
+                         "(for warp-lowering A/Bs)")
     args = ap.parse_args()
 
     import jax
@@ -156,6 +159,8 @@ def main():
         (96, 4, 4, 0.33, True, True, False),     # + warp/gamma/noise/blur
         (None, 4, 4, 0.0, True, True, False),    # strong augs @ full volume
     ]
+    if args.only_strong:
+        arms = [a for a in arms if a[5]]
     results = []
     for crop, batch, accum, ovs, aug, strong, remat in arms:
         try:
