@@ -397,16 +397,20 @@ def device_augment(
             img = (img.astype(jnp.float32) * sc + shift).astype(img.dtype)
         if gamma > 0:
             # gamma on the per-sample min-max-normalized scale, then map
-            # back — keeps the (already-normalized) input range intact
+            # back — keeps the (already-normalized) input range intact.
+            # The base is clamped away from exact 0: XLA's TPU pow lowers
+            # to exp(g*log(base)) inside fused pipelines, which returns
+            # NaN at base == 0 (the min voxel, ALWAYS present) — one NaN
+            # the next stage's std() then spreads over the whole sample.
+            # CPU pow special-cases zero, so only the chip sees it.
             g = jnp.exp(
                 jax.random.uniform(kg, (), minval=-gamma, maxval=gamma)
             )
             x = img.astype(jnp.float32)
             lo, hi = jnp.min(x), jnp.max(x)
             span = jnp.maximum(hi - lo, 1e-6)
-            img = (
-                jnp.power((x - lo) / span, g) * span + lo
-            ).astype(img.dtype)
+            base = jnp.maximum((x - lo) / span, 1e-7)
+            img = (jnp.power(base, g) * span + lo).astype(img.dtype)
         if noise > 0:
             k1, k2 = jax.random.split(kn)
             sigma = jax.random.uniform(k1, (), maxval=noise) * jnp.maximum(

@@ -143,6 +143,37 @@ def test_device_augment_extended_transforms():
     assert not np.allclose(np.asarray(a_img), np.asarray(img))
 
 
+def test_device_augment_full_combo_finite_bf16():
+    """Regression (round 4, found by on-chip CLI drive): the FULL
+    augmentation pipeline (flips + rot90 + jitter + warp + gamma + noise
+    + blur) on a bf16 batch must stay finite for every key. The gamma
+    stage used to hit XLA-TPU's exp(g*log(0)) = NaN at the per-sample
+    min voxel (pow's zero-base special case exists on CPU but not in the
+    chip's fused lowering); the next stage's std() then spread that one
+    NaN over the whole sample and the train step aborted. The base is
+    now clamped to >= 1e-7 — this test pins the finite behavior on
+    every backend (on TPU it reproduces the original failure 6/8 seeds)."""
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(
+        rng.normal(size=(2, 12, 12, 12, 3)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    lab = jnp.asarray(
+        (rng.random((2, 12, 12, 12, 1)) > 0.8).astype(np.uint8)
+    )
+    fn = jax.jit(
+        lambda i, l, k: device_augment(
+            i, l, k, scale=0.15, rotate_deg=20.0, gamma=0.3,
+            noise=0.1, blur_prob=0.2,
+        )
+    )
+    for seed in range(8):
+        a_img, a_lab = fn(img, lab, jax.random.key(seed))
+        assert np.isfinite(np.asarray(a_img, np.float32)).all(), (
+            f"non-finite augmented image at seed {seed}"
+        )
+        assert np.isfinite(np.asarray(a_lab, np.float32)).all()
+
+
 def test_affine_warp_90deg_matches_rot90():
     """angle=90° lands on exact integer coordinates, so the affine warp
     must reproduce np.rot90 in the H-W plane exactly (trilinear weights
