@@ -113,3 +113,58 @@ def is_multiprocess() -> bool:
 def is_primary() -> bool:
     """True on the process that should write checkpoints/artifacts."""
     return jax.process_index() == 0
+
+
+def barrier(tag: str, timeout_ms: int = 600_000) -> None:
+    """Cross-process barrier over the COORDINATION SERVICE (gRPC) — not a
+    device collective, so it is safe before any program has compiled and
+    from any thread. No-op in single-process runs. ``tag`` must be unique
+    per call across the job and identical across processes."""
+    from jax._src import distributed
+
+    client = getattr(distributed.global_state, "client", None)
+    if client is None:
+        return
+    client.wait_at_barrier(tag, timeout_in_ms=timeout_ms)
+
+
+def establish_collectives(tag: str = "pcmseg_warmup") -> None:
+    """Create the cross-process device-collective context up front.
+
+    Runs one tiny all-reduce over every device in the job while the
+    processes are still aligned (its compile is seconds). The backend's
+    communicator clique — on CPU clusters, the gloo context, whose
+    rendezvous has a hard 30 s GetKeyValue timeout; on pods, the ICI
+    launch group — is created HERE rather than at the first collective
+    of the real (minutes-to-compile) program, where per-process compile
+    skew on a loaded host can exceed the rendezvous window and kill the
+    job (observed: 4-process CPU cluster, 1-core CI host — gloo
+    DEADLINE_EXCEEDED while a peer was still compiling). Call once after
+    :func:`initialize`, before building trainers. No-op single-process.
+    """
+    if not is_multiprocess():
+        return
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    devices = np.asarray(jax.devices())
+    mesh = Mesh(devices, ("x",))
+    sharding = NamedSharding(mesh, PartitionSpec("x"))
+    n = len(devices)
+    local = [
+        np.ones((1,), np.float32)
+        for _ in range(len(mesh.local_devices))
+    ]
+    x = jax.make_array_from_single_device_arrays(
+        (n,),
+        sharding,
+        [
+            jax.device_put(arr, d)
+            for arr, d in zip(local, mesh.local_devices)
+        ],
+    )
+    total = jax.jit(
+        lambda v: jax.numpy.sum(v),
+        out_shardings=NamedSharding(mesh, PartitionSpec()),
+    )(x)
+    assert float(total) == float(n), (float(total), n)
+    barrier(tag)

@@ -55,6 +55,12 @@ def main() -> int:
     assert jax.device_count() == 8, jax.device_count()
     assert multihost.is_multiprocess()
     assert multihost.is_primary() == (pid == 0)
+    # gloo context rendezvous NOW, while processes are aligned (see
+    # multihost.establish_collectives — the real step's compile skew on
+    # a loaded 1-core host can exceed gloo's 30 s init window), then
+    # re-align before the heavy compile so execution skew stays small
+    multihost.establish_collectives()
+    multihost.barrier(f"pcmseg_worker_start_{mode}")
 
     from pcmseg_tpu.core.config import get_config
     from pcmseg_tpu.train.trainer import Trainer

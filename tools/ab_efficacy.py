@@ -8,9 +8,11 @@ one fixed synthetic cohort per arm (identical data, seeds, epochs, LR)
 and reports converged held-out Dice so each feature gets a
 keep/re-default/no-op verdict (the repo's wire-or-delete rule).
 
-Cohort: synthetic PCA (small lesions — the regime foreground
-oversampling and the imbalance losses exist for), 20 cases at 96^3,
-25% held out. Checkpoint writes are no-op'd (the 1 GB flagship-sized
+Cohort: synthetic PCA at difficulty="hard" (low-contrast irregular
+multi-blob lesions, textured background + bias field, one near-blind
+modalities — data/synthetic.py) — the easy sphere phantom saturates
+every arm at Dice ~0.999 within 8 epochs and cannot discriminate
+recipes. 20 cases at 96^3, 25% held out. Checkpoint writes are no-op'd (the 1 GB flagship-sized
 state costs 27-33 s/epoch over the tunneled chip — BENCH.md
 "Checkpoint cost" — and is orthogonal to what this measures).
 
@@ -56,6 +58,15 @@ ARMS = {
         "aug_noise": 0.1,
         "aug_blur_prob": 0.2,
     },
+    # best-of-breed combination (the nnU-Net-style recipe the single-arm
+    # winners suggest): patch training + deep supervision + tversky +
+    # basic augmentation
+    "combo": {
+        "train_crop": (64, 64, 64),
+        "deep_supervision": True,
+        "loss": "tversky",
+        "data_augmentation": True,
+    },
 }
 
 
@@ -80,7 +91,7 @@ def run_arm(name, overrides, data_dir, args):
         val_fraction=0.25,
         early_stopping=False,
         remat=False,
-        seed=42,
+        seed=args.seed,
         **overrides,
     )
     trainer = Trainer(config)
@@ -150,12 +161,13 @@ def score_postprocess(trainer):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=14)
+    ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--cases", type=int, default=20)
     ap.add_argument("--size", type=int, default=96)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--features", type=int, default=64)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--arms", default=None,
                     help="comma list; default = all")
     ap.add_argument("--keep", action="store_true")
@@ -170,7 +182,7 @@ def main():
     try:
         make_synthetic_dataset(
             root, n_cases=args.cases, data_type="PCA",
-            shape=(args.size,) * 3, seed=43,
+            shape=(args.size,) * 3, seed=43, difficulty="hard",
         )
         names = (
             args.arms.split(",") if args.arms else list(ARMS.keys())
