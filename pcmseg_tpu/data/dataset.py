@@ -337,7 +337,14 @@ class ProstateDataset:
             label = (label > 0).astype(np.uint8)[..., None]  # (D,H,W,1)
 
         if self.cache_dir:
-            tmp = cpath + ".tmp.npz"
+            # tmp name must be unique PER WRITER: concurrent processes
+            # (multi-host workers on a shared cache, parallel CV folds)
+            # decode the same case and race to publish the same key — a
+            # shared tmp path lets one os.replace consume the other's
+            # file (observed: FileNotFoundError on a 4-process cluster).
+            # Unique tmp + atomic replace = last writer wins, identical
+            # bytes either way (the pipeline is deterministic).
+            tmp = f"{cpath}.tmp.{os.getpid()}.npz"
             np.savez(tmp, image_bf16=image.view(np.uint16), label_u8=label)
             os.replace(tmp, cpath)
 
