@@ -59,7 +59,7 @@ def train_flagship(args, root, save_dir):
         base_features=args.features,
         batch_size=args.batch,
         accum_steps=args.accum,
-        remat=False,
+        remat=True,  # flagship 128^3 needs the block remat (BENCH.md memory envelope)
         num_epochs=args.epochs,
         learning_rate=args.lr,
         validation=True,
