@@ -229,7 +229,11 @@ def _affine_warp(
 
     # ---- z axis: 1-D linear resample (indices shape (D,)) ---------------
     zz = jnp.arange(d, dtype=jnp.float32)
-    src_z = (zz - zc) * inv + zc
+    # Clamp SOURCE coordinates (not just the floor) so out-of-bounds
+    # samples take the edge value — unclamped src<0 would leave the
+    # fraction outside [0,1] and linearly EXTRApolate (advisor r4: ±45
+    # at faces on a N(0,1) zoom-0.85 volume vs the host twin's ±3.3).
+    src_z = jnp.clip((zz - zc) * inv + zc, 0, d - 1)
     z0 = jnp.clip(jnp.floor(src_z), 0, d - 1)
     fz = (src_z - z0)[:, None, None, None]
     z0i = z0.astype(jnp.int32)
@@ -242,8 +246,9 @@ def _affine_warp(
         indexing="ij",
     )
     ys, xs = yy - yc, xx - xc
-    src_y = (cos * ys + sin * xs) * inv + yc
-    src_x = (-sin * ys + cos * xs) * inv + xc
+    # Same edge-clamp as the z axis: keep fy/fx in [0,1].
+    src_y = jnp.clip((cos * ys + sin * xs) * inv + yc, 0, h - 1)
+    src_x = jnp.clip((-sin * ys + cos * xs) * inv + xc, 0, w - 1)
     y0 = jnp.clip(jnp.floor(src_y), 0, h - 1)
     x0 = jnp.clip(jnp.floor(src_x), 0, w - 1)
     fy = src_y - y0

@@ -216,6 +216,7 @@ def get_dataloader(
     drop_last: bool = False,
     seed: int = 0,
     n_classes: int = 1,
+    coregister: bool = False,
 ) -> DataLoader:
     """One loader factory used uniformly by every trainer/validator.
 
@@ -233,6 +234,7 @@ def get_dataloader(
         cache_dir=cache_dir,
         is_training=is_training,
         n_classes=n_classes,
+        coregister=coregister,
     )
     return DataLoader(
         dataset,

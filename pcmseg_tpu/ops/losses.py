@@ -286,7 +286,12 @@ def mc_focal_loss(
     logp = jnn.log_softmax(logits.astype(jnp.float32), axis=-1)
     t = one_hot_targets(labels, k)
     log_pt = jnp.sum(t * logp, axis=-1)
-    per_vox = -jnp.power(1.0 - jnp.exp(log_pt), gamma) * log_pt
+    # XLA-TPU lowers pow(b, g) to exp(g*log(b)), which NaNs at b == 0 —
+    # exactly what (1-p_t) hits on saturated voxels (p_t -> 1.0 in fp32).
+    # Clamp the base, as the binary focal path and the gamma-augmentation
+    # fix (commit 9826379) do.
+    base = jnp.maximum(1.0 - jnp.exp(log_pt), 1e-7)
+    per_vox = -jnp.power(base, gamma) * log_pt
     if weight is None:
         return jnp.mean(per_vox)
     w = weight.astype(jnp.float32)

@@ -23,6 +23,7 @@ spans every process's devices.
 
 from __future__ import annotations
 
+import warnings
 from typing import Any, Dict, Optional, Sequence
 
 import jax
@@ -119,10 +120,26 @@ def barrier(tag: str, timeout_ms: int = 600_000) -> None:
     """Cross-process barrier over the COORDINATION SERVICE (gRPC) — not a
     device collective, so it is safe before any program has compiled and
     from any thread. No-op in single-process runs. ``tag`` must be unique
-    per call across the job and identical across processes."""
-    from jax._src import distributed
+    per call across the job and identical across processes.
 
-    client = getattr(distributed.global_state, "client", None)
+    Uses ``jax._src.distributed`` — a private API with no stability
+    guarantee (no public coordination-service barrier exists in the
+    pinned JAX). Guarded so a JAX internals reshuffle degrades to a
+    no-op instead of killing every multihost startup path (advisor r4).
+    """
+    try:
+        from jax._src import distributed
+
+        client = getattr(distributed.global_state, "client", None)
+    except Exception:  # pragma: no cover - depends on JAX internals
+        warnings.warn(
+            "jax._src.distributed unavailable in this JAX version; "
+            "barrier() is a no-op (startup alignment falls back to the "
+            "establish_collectives all-reduce)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return
     if client is None:
         return
     client.wait_at_barrier(tag, timeout_in_ms=timeout_ms)

@@ -214,6 +214,29 @@ def test_affine_warp_identity_is_noop():
     np.testing.assert_array_equal(np.asarray(out_l), lab)
 
 
+def test_affine_warp_zoom_out_stays_in_input_range():
+    """Regression (advisor r4): with zoom<1 the source coordinates go
+    negative at the z=0/y=0/x=0 faces; the unclamped fraction then
+    EXTRApolated (values of ±45 observed on a N(0,1) volume vs ±3.3
+    in the input). Trilinear interpolation with edge-clamp is a convex
+    combination of input voxels, so the output range must be contained
+    in the input range — at every zoom/rotation combination."""
+    from pcmseg_tpu.data.device_cache import _affine_warp
+
+    rng = np.random.default_rng(6)
+    img = rng.normal(size=(32, 32, 32, 2)).astype(np.float32)
+    lab = rng.integers(0, 2, size=(32, 32, 32, 1)).astype(np.uint8)
+    for angle, scale in [(0.0, 0.85), (0.35, 0.85), (0.35, 1.2), (-0.5, 0.7)]:
+        out_i, out_l = _affine_warp(
+            jnp.asarray(img), jnp.asarray(lab),
+            jnp.float32(angle), jnp.float32(scale),
+        )
+        out = np.asarray(out_i)
+        assert out.min() >= img.min() - 1e-4, (angle, scale, out.min())
+        assert out.max() <= img.max() + 1e-4, (angle, scale, out.max())
+        assert set(np.unique(np.asarray(out_l))) <= {0, 1}
+
+
 def test_separable_blur_smooths():
     from pcmseg_tpu.data.device_cache import _separable_blur
 

@@ -206,7 +206,11 @@ def test_cross_validation_trainer(data_root, tmp_path):
     }
     for k in range(2):
         hist = json.load(open(os.path.join(save_dir, f"fold_{k}_history.json")))
-        assert set(hist) == {"train_loss", "val_loss"}
+        # Schema policy (PARITY.md row 10): SUPERSET of the reference's
+        # fold history (train_bph_cv.py:254-260 writes train/val loss);
+        # we additionally record val_dice/val_iou when validation is on.
+        assert {"train_loss", "val_loss"} <= set(hist)
+        assert all(len(v) == len(hist["train_loss"]) for v in hist.values())
         assert os.path.isdir(os.path.join(save_dir, f"best_fold_{k}", "state"))
 
 

@@ -65,6 +65,22 @@ class TestMulticlassLosses:
             rtol=1e-5,
         )
 
+    def test_focal_finite_at_saturated_logits(self, rng):
+        """Regression (advisor r4): XLA-TPU lowers pow(b, g) to
+        exp(g*log(b)), which NaNs at b==0 — exactly what (1-p_t) hits
+        on saturated voxels where p_t rounds to 1.0 in fp32. The base
+        must be clamped (same fix as the binary focal path and the
+        gamma augmentation, commit 9826379). Exercised on whatever
+        backend is active; the grad path is the sensitive one."""
+        _, labels = _random_batch(rng)
+        logits = 80.0 * one_hot_targets(labels, 3)  # p_t == 1.0 in fp32
+        val = float(mc_focal_loss(logits, labels, gamma=2.0))
+        assert np.isfinite(val)
+        g = jax.grad(
+            lambda lg: mc_focal_loss(lg, labels, gamma=2.0)
+        )(logits)
+        assert np.isfinite(np.asarray(g)).all()
+
     def test_zero_weight_sample_excluded(self, rng):
         logits, labels = _random_batch(rng, n=2)
         w = jnp.asarray([1.0, 0.0])
