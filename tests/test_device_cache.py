@@ -42,7 +42,7 @@ def _cfg(data_root, tmp_path, name, **kw):
         save_dir=str(tmp_path / name),
         base_features=4,
         target_size=(SIZE,) * 3,
-        batch_size=2,
+        batch_size=kw.pop("batch_size", 2),
         num_epochs=1,
         validation=True,
         val_fraction=0.25,
@@ -272,6 +272,92 @@ def test_host_augment_extended_transforms():
     np.testing.assert_array_equal(a_l, b_l)
     assert set(np.unique(a_l)) <= {0, 1, 2}
     assert not np.allclose(a_i, img)
+
+
+def _partial_cfg(data_root, tmp_path, name, n_resident, **kw):
+    """Budget sized to hold exactly ``n_resident`` 16³ 5-modality cases."""
+    from pcmseg_tpu.data.device_cache import dataset_device_bytes
+
+    per_case = dataset_device_bytes(1, (SIZE,) * 3, 5)
+    return _cfg(
+        data_root, tmp_path, name,
+        device_data_cache_gb=(n_resident + 0.5) * per_case / 1e9,
+        **kw,
+    )
+
+
+def test_partial_cache_engages_and_covers_every_case(data_root, tmp_path):
+    """5-case cohort, budget for 3: train cases become resident first,
+    the remainder streams, and one epoch consumes every train case
+    exactly once across both paths."""
+    cfg = _partial_cfg(data_root, tmp_path, "partial", 3)
+    tr = Trainer(cfg)
+    assert tr._dcache_partial
+    assert tr._dcache["images"].shape[0] == 3
+    # residency priority: train cases first (4 train, 1 val at 0.25)
+    assert len(tr._res_train) == 3 and len(tr._str_train) == 1
+    assert set(tr._res_train) | set(tr._str_train) == set(tr.train_indices)
+    assert tr._stream_train_loader is not None
+
+    seen = {"cached": 0.0, "stream": 0.0}
+    cached_step, stream_step = tr._cached_train_step, tr._train_step
+
+    def spy_cached(state, images, labels, idx, weights, key):
+        seen["cached"] += float(np.sum(weights))
+        return cached_step(state, images, labels, idx, weights, key)
+
+    def spy_stream(state, batch):
+        seen["stream"] += float(np.sum(np.asarray(batch["weight"])))
+        return stream_step(state, batch)
+
+    tr._cached_train_step = spy_cached
+    tr._train_step = spy_stream
+    loss = tr.train_epoch()
+    assert np.isfinite(loss)
+    assert seen["cached"] == len(tr._res_train)
+    assert seen["stream"] == len(tr._str_train)
+
+
+def test_partial_cache_val_matches_streaming(data_root, tmp_path):
+    """Aggregated val metrics are partition-independent: the partial
+    cache's split val pass (cached rows + streamed remainder) must
+    reproduce the pure-streaming validator at batch_size 1."""
+    results = {}
+    for name, partial in (("stream", None), ("partial", 3)):
+        if partial is None:
+            cfg = _cfg(
+                data_root, tmp_path, "vs_" + name,
+                device_data_cache_gb=0.0, batch_size=1,
+            )
+        else:
+            cfg = _partial_cfg(
+                data_root, tmp_path, "vs_" + name, partial, batch_size=1,
+            )
+        tr = Trainer(cfg)
+        assert (tr._dcache_partial) == (partial is not None)
+        results[name] = tr.validate_epoch()
+    s, p = results["stream"], results["partial"]
+    np.testing.assert_allclose(p["loss"], s["loss"], rtol=1e-5)
+    np.testing.assert_allclose(p["dice"], s["dice"], atol=1e-3)
+
+
+def test_partial_cache_deterministic(data_root, tmp_path):
+    """Two identical partial-cache runs replay the same interleaved
+    schedule and loss sequence (seeded shuffles on both paths)."""
+    runs = []
+    for r in range(2):
+        cfg = _partial_cfg(data_root, tmp_path, f"det{r}", 3)
+        tr = Trainer(cfg)
+        runs.append([tr.train_epoch(), tr.train_epoch()])
+    np.testing.assert_allclose(runs[0], runs[1], rtol=1e-6)
+
+
+def test_partial_cache_off_falls_back_to_streaming(data_root, tmp_path):
+    cfg = _partial_cfg(
+        data_root, tmp_path, "off", 3, device_cache_partial=False
+    )
+    tr = Trainer(cfg)
+    assert tr._dcache is None and not tr._dcache_partial
 
 
 def test_cached_epoch_matches_streaming_sharded(data_root, tmp_path):

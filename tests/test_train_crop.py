@@ -131,7 +131,7 @@ def test_device_oversample_fg_always_contains_foreground():
 
     crop_fn = jax.jit(
         lambda i, l, k: device_random_crop(i, l, k, (4, 8, 8),
-                                           oversample_fg=1.0)
+                                           oversample_fg=1.0, mode="window")
     )
     hit_everywhere = True
     offsets = set()
@@ -147,10 +147,65 @@ def test_device_oversample_fg_always_contains_foreground():
     # empty labels fall back to uniform offsets (and never NaN/crash)
     out_i, out_l = jax.jit(
         lambda i, l, k: device_random_crop(i, l, k, (4, 8, 8),
-                                           oversample_fg=1.0)
+                                           oversample_fg=1.0, mode="window")
     )(images, np.zeros_like(labels), jax.random.key(0))
     assert np.asarray(out_l).sum() == 0.0
     assert np.isfinite(np.asarray(out_i)).all()
+
+
+def _center_expected_pos(voxel, dims, crop):
+    """Where the fg voxel must land inside a CENTERED crop: offset =
+    clip(v - c//2, 0, s - c), position = v - offset."""
+    return tuple(
+        v - int(np.clip(v - c // 2, 0, max(s - c, 0)))
+        for v, s, c in zip(voxel, dims, crop)
+    )
+
+
+def test_device_oversample_center_is_nnunet_semantics():
+    """'center' mode (the default): every forced sample's crop is
+    CENTERED on the sampled foreground voxel (clipped at bounds), and
+    the forced count per batch is the DETERMINISTIC nnU-Net fraction
+    B - round(B*(1-p)) — not a Bernoulli draw."""
+    voxel, dims = (10, 2, 13), (12, 16, 16)
+    image, label = sparse_fg_volume(dims, voxel)
+    images, labels = np.stack([image] * 4), np.stack([label] * 4)
+    crop = (4, 8, 8)
+    exp = _center_expected_pos(voxel, dims, crop)
+
+    # p=1: every sample forced, voxel at the exact centered position
+    out_i, out_l = jax.jit(
+        lambda i, l, k: device_random_crop(i, l, k, crop, oversample_fg=1.0)
+    )(images, labels, jax.random.key(0))
+    out_l = np.asarray(out_l)
+    for s in range(4):
+        assert out_l[s].sum() == 1.0
+        assert tuple(np.argwhere(out_l[s, ..., 0])[0]) == exp
+
+    # p=0.5 over B=4: n_forced = 4 - round(2) = 2 — the SAME two head
+    # positions are forced under every key (deterministic fraction)
+    crop_fn = jax.jit(
+        lambda i, l, k: device_random_crop(i, l, k, crop, oversample_fg=0.5)
+    )
+    for k in range(6):
+        _, out_l = crop_fn(images, labels, jax.random.key(k))
+        out_l = np.asarray(out_l)
+        hits = out_l.sum(axis=(1, 2, 3, 4))
+        assert hits[0] == 1.0 and hits[1] == 1.0, hits
+        for s in (0, 1):
+            assert tuple(np.argwhere(out_l[s, ..., 0])[0]) == exp
+
+
+def test_host_oversample_center_centers_crop():
+    voxel, dims = (10, 2, 13), (12, 16, 16)
+    image, label = sparse_fg_volume(dims, voxel)
+    exp = _center_expected_pos(voxel, dims, (4, 8, 8))
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        _, lab = random_crop(image, label, rng, (4, 8, 8),
+                             oversample_fg=1.0, mode="center")
+        assert lab.sum() == 1.0
+        assert tuple(np.argwhere(lab[..., 0])[0]) == exp
 
 
 def test_oversample_fg_config_validation():

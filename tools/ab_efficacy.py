@@ -19,7 +19,15 @@ state costs 27-33 s/epoch over the tunneled chip — BENCH.md
 The largest_cc arm is post-hoc: the baseline arm's final weights are
 scored on the val split with and without connected-component filtering.
 
+Round 5 (VERDICT r4 next #3/#4/#7): multi-seed support — ``--seeds
+42,7,1234`` runs every arm at each config seed (same cohort; seed moves
+init/split/shuffle/augmentation draws) and reports mean±std per arm, so
+recommendations rest on spread the table itself shows. New arms: the
+nnU-Net 'center' vs round-4 'window' foreground-oversampling A/B and
+half/quarter-magnitude strong-augmentation rungs.
+
 Usage: python tools/ab_efficacy.py [--epochs 14] [--arms baseline,ema,...]
+       [--seeds 42,7,1234]
 """
 
 import argparse
@@ -40,7 +48,17 @@ enable_compilation_cache()
 ARMS = {
     "baseline": {},
     "crop64": {"train_crop": (64, 64, 64)},
-    "crop64_fgos": {"train_crop": (64, 64, 64), "oversample_fg": 0.33},
+    # foreground-oversampling mechanism A/B (VERDICT r4 next #4):
+    # 'center' = true nnU-Net (deterministic per-batch fraction, crop
+    # centered on a fg voxel); 'window' = the round-4 variant
+    "crop64_fgos_center": {
+        "train_crop": (64, 64, 64), "oversample_fg": 0.33,
+        "oversample_mode": "center",
+    },
+    "crop64_fgos_window": {
+        "train_crop": (64, 64, 64), "oversample_fg": 0.33,
+        "oversample_mode": "window",
+    },
     "deep_supervision": {"deep_supervision": True},
     "ema": {"ema_decay": 0.999},
     "tversky": {"loss": "tversky"},
@@ -57,6 +75,25 @@ ARMS = {
         "aug_gamma": 0.3,
         "aug_noise": 0.1,
         "aug_blur_prob": 0.2,
+    },
+    # magnitude sweep (VERDICT r4 next #7): the full-magnitude verdict
+    # was negative at ONE dose on a 15-case cohort — half and quarter
+    # rungs decide whether any strong-aug magnitude earns a default
+    "augment_strong_half": {
+        "data_augmentation": True,
+        "aug_scale": 0.075,
+        "aug_rotate_deg": 10.0,
+        "aug_gamma": 0.15,
+        "aug_noise": 0.05,
+        "aug_blur_prob": 0.1,
+    },
+    "augment_strong_quarter": {
+        "data_augmentation": True,
+        "aug_scale": 0.04,
+        "aug_rotate_deg": 5.0,
+        "aug_gamma": 0.08,
+        "aug_noise": 0.025,
+        "aug_blur_prob": 0.05,
     },
     # best-of-breed combination (the nnU-Net-style recipe the single-arm
     # winners suggest): patch training + deep supervision + tversky +
@@ -168,6 +205,9 @@ def main():
     ap.add_argument("--features", type=int, default=64)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--seeds", default=None,
+                    help="comma list of config seeds; overrides --seed "
+                         "and reports mean±std per arm")
     ap.add_argument("--arms", default=None,
                     help="comma list; default = all")
     ap.add_argument("--keep", action="store_true")
@@ -187,18 +227,38 @@ def main():
         names = (
             args.arms.split(",") if args.arms else list(ARMS.keys())
         )
+        seeds = (
+            [int(s) for s in args.seeds.split(",")]
+            if args.seeds else [args.seed]
+        )
         results = []
-        baseline_trainer = None
+        agg = {}
         for name in names:
-            res, trainer = run_arm(name, ARMS[name], root, args)
-            results.append(res)
-            print(json.dumps(res), flush=True)
-            if name == "baseline":
-                baseline_trainer = trainer
-                pp = score_postprocess(trainer)
-                results.append(pp)
-                print(json.dumps(pp), flush=True)
-        print(json.dumps({"ab_efficacy": results}, indent=1))
+            per_seed = []
+            for seed in seeds:
+                args.seed = seed
+                res, trainer = run_arm(name, ARMS[name], root, args)
+                res["seed"] = seed
+                per_seed.append(res)
+                results.append(res)
+                print(json.dumps(res), flush=True)
+                if name == "baseline" and seed == seeds[0]:
+                    pp = score_postprocess(trainer)
+                    results.append(pp)
+                    print(json.dumps(pp), flush=True)
+                del trainer
+            best = [r["best_val_dice"] for r in per_seed]
+            final = [r["final_val_dice"] for r in per_seed]
+            agg[name] = {
+                "seeds": seeds,
+                "best_val_dice": [round(b, 4) for b in best],
+                "mean": round(float(np.mean(best)), 4),
+                "std": round(float(np.std(best, ddof=1)), 4)
+                if len(best) > 1 else None,
+                "final_mean": round(float(np.mean(final)), 4),
+            }
+            print(json.dumps({"arm_summary": name, **agg[name]}), flush=True)
+        print(json.dumps({"ab_efficacy": results, "summary": agg}, indent=1))
     finally:
         if not args.keep:
             shutil.rmtree(root, ignore_errors=True)
