@@ -89,17 +89,17 @@ def build_device_cache(
     if indices is not None:
         dataset = _DatasetView(dataset, indices)
 
-    # memoized per (dataset, mesh shape, subset): CV builds one Trainer
-    # per fold over the SAME dataset — the immutable HBM stacks are
-    # shared, not re-uploaded (a different mesh needs a different
-    # sharding, so it gets its own entry)
-    memo_key = (
-        tuple(mesh.shape.items()) if mesh is not None else None,
-        tuple(int(i) for i in indices) if indices is not None else None,
-    )
+    # memoized per (dataset, mesh shape): CV builds one Trainer per fold
+    # over the SAME dataset — the immutable HBM stacks are shared, not
+    # re-uploaded (a different mesh needs a different sharding, so it
+    # gets its own entry). SUBSET caches are NOT memoized: each fold's
+    # resident subset differs, and parking K per-fold stacks in the
+    # dataset-lifetime memo would accumulate HBM across folds — the
+    # Trainer owns its partial cache and frees it with the fold.
+    memo_key = tuple(mesh.shape.items()) if mesh is not None else None
     base = dataset.base if indices is not None else dataset
     memo = getattr(base, "_device_cache_memo", {})
-    if memo_key in memo:
+    if indices is None and memo_key in memo:
         return memo[memo_key]
 
     n = len(dataset)
@@ -139,11 +139,12 @@ def build_device_cache(
             "labels": put(labels),
             "case_ids": case_ids,
         }
-    try:
-        memo[memo_key] = cache
-        base._device_cache_memo = memo
-    except AttributeError:
-        pass
+    if indices is None:
+        try:
+            memo[memo_key] = cache
+            base._device_cache_memo = memo
+        except AttributeError:
+            pass
     return cache
 
 
