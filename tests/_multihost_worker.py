@@ -42,7 +42,7 @@ def main() -> int:
     mode = sys.argv[5] if len(sys.argv) > 5 else "sync"
     nproc = int(sys.argv[6]) if len(sys.argv) > 6 else 2
     async_ckpt = mode == "async"
-    use_cache = mode == "cache"
+    use_cache = mode in ("cache", "pcache")
     # NOTE: no persistent compile cache here — measured on the 1-core
     # host, a cache HIT on one process while a peer still compiles skews
     # their arrival at the first collective past gloo's 30 s
@@ -80,7 +80,14 @@ def main() -> int:
         early_stopping=False,
         data_parallel=8,
         async_checkpoint=async_ckpt,
-        device_data_cache_gb=1.0 if use_cache else 0.0,
+        # 'pcache': budget sized so only ~8 of the 12 cases fit → the
+        # PARTIAL cache engages (resident subset + streamed remainder,
+        # interleaved dispatch) across the 2-process cluster
+        device_data_cache_gb=(
+            1.0 if mode == "cache"
+            else (8.5 * 16**3 * 11) / (8 * 1e9) if mode == "pcache"
+            else 0.0
+        ),
         resume=(mode == "resume"),
     )
     trainer = Trainer(config)
@@ -90,6 +97,10 @@ def main() -> int:
         # the multi-process device-resident cache must be active: batches
         # gathered on device from globally-sharded stacks, no streaming
         assert trainer._dcache is not None
+    if mode == "pcache":
+        assert trainer._dcache_partial, "partial cache should engage"
+        assert trainer._stream_train_loader is not None
+        assert trainer._dcache["images"].shape[0] >= 8  # padded to dp
     if mode == "crash":
         # hard-kill process 1 right after the first optimizer step of
         # epoch 1 (so epoch 0's checkpoint exists and the death lands

@@ -43,7 +43,7 @@ def _cfg(data_root, tmp_path, name, **kw):
         base_features=4,
         target_size=(SIZE,) * 3,
         batch_size=kw.pop("batch_size", 2),
-        num_epochs=1,
+        num_epochs=kw.pop("num_epochs", 1),
         validation=True,
         val_fraction=0.25,
         data_augmentation=False,
@@ -350,6 +350,31 @@ def test_partial_cache_deterministic(data_root, tmp_path):
         tr = Trainer(cfg)
         runs.append([tr.train_epoch(), tr.train_epoch()])
     np.testing.assert_allclose(runs[0], runs[1], rtol=1e-6)
+
+
+def test_partial_cache_resume_replays_uninterrupted_run(data_root, tmp_path):
+    """Kill+resume under the PARTIAL cache: the resumed run must replay
+    exactly what an uninterrupted run would have produced — the cached
+    plan derives from (seed, epoch) and the remainder's streaming loader
+    must be set_epoch-aligned on resume (the new loaders the partial
+    path adds)."""
+    cfg_full = _partial_cfg(
+        data_root, tmp_path, "res_ref", 3, num_epochs=3,
+    )
+    ref = Trainer(cfg_full)
+    assert ref._dcache_partial
+    h_ref = ref.train()
+
+    cfg_a = _partial_cfg(
+        data_root, tmp_path, "res_ab", 3, num_epochs=2,
+    )
+    Trainer(cfg_a).train()
+    resumed = Trainer(cfg_a.replace(resume=True, num_epochs=3))
+    assert resumed.start_epoch == 2 and resumed._dcache_partial
+    h_res = resumed.train()
+    np.testing.assert_allclose(
+        h_res["train_loss"], h_ref["train_loss"], rtol=1e-6
+    )
 
 
 def test_partial_cache_off_falls_back_to_streaming(data_root, tmp_path):

@@ -137,6 +137,16 @@ def test_two_process_cluster_device_cache(tmp_path):
     _run_cluster(tmp_path, "cache")
 
 
+def test_two_process_cluster_partial_device_cache(tmp_path):
+    """PARTIAL device cache across a 2-process cluster: only ~8 of 12
+    cases fit the budget — the resident subset is globally sharded
+    (each process decodes only its shard), the remainder streams through
+    process-sharded global batches, and the interleaved dispatch
+    schedule (a pure function of batch counts) keeps every process in
+    lockstep: losses bit-identical."""
+    _run_cluster(tmp_path, "pcache", n_cases=12)
+
+
 def test_two_process_cluster_async_checkpoints(tmp_path):
     """Multi-host ASYNC saves: background writer threads on every process,
     coordination-service barriers only (no device collectives off the main

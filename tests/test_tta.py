@@ -64,7 +64,9 @@ def test_tta_output_is_flip_invariant():
                    norm_layer="group", dtype=jnp.float32,
                    param_dtype=jnp.float32, remat=False)
     rng = np.random.default_rng(2)
-    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 2)), jnp.float32)
+    # 16³: the model's minimum legal input (4 levels of 2x pooling —
+    # the round-4 guard at models/unet3d.py rejects anything smaller)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 16, 2)), jnp.float32)
     v = model.init(jax.random.key(0), x, train=False)
     tta = jax.jit(make_tta_apply(
         lambda vars_, t: model.apply(vars_, t, method=UNet3D.predict)
