@@ -90,6 +90,11 @@ class Config:
     # all-or-nothing cache dropped reference-scale cohorts to the ~0.5x
     # streaming rate). False restores all-or-nothing.
     device_cache_partial: bool = True
+    # Host-RAM memo for the partial cache's STREAMED remainder (wire
+    # format, ~23 MB per 128³ case): avoids the per-epoch .npz re-decode
+    # that competes with the dispatch thread for CPU. Budget in GB of
+    # host RAM; 0 disables (cases then re-decode every epoch).
+    stream_host_cache_gb: float = 4.0
     shuffle_buffer_seed: int = 0
 
     # ---- training ---------------------------------------------------------

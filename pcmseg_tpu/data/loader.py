@@ -51,6 +51,40 @@ def _collate(samples: List[dict], weights: Optional[List[float]] = None) -> dict
     }
 
 
+class RamCaseCache:
+    """Dataset view memoizing ``load_case`` results in host RAM for a
+    fixed index set (wire-format bf16/u8 arrays — ~23 MB per 128³
+    5-modality case).
+
+    Built for the PARTIAL device cache's streamed remainder: those cases
+    are re-read every epoch, and on a loaded host the per-epoch .npz
+    decompress + copy competes with the dispatch thread for CPU
+    (measured: the partial path ran at 70% of the fully-cached rate
+    before this memo, BENCH.md round-5). Augmentation stays fresh — the
+    Augmenter runs after ``load_case`` and returns new arrays, never
+    mutating the memoized sample. Everything else delegates to the base
+    dataset."""
+
+    def __init__(self, base, indices: Sequence[int]):
+        self.base = base
+        self._keep = {int(i) for i in indices}
+        self._memo: dict = {}
+
+    def load_case(self, i: int) -> dict:
+        got = self._memo.get(i)
+        if got is None:
+            got = self.base.load_case(i)
+            if i in self._keep:
+                self._memo[i] = got
+        return got
+
+    def __len__(self) -> int:
+        return len(self.base)
+
+    def __getattr__(self, name):
+        return getattr(self.base, name)
+
+
 class DataLoader:
     """Iterates batches of a ProstateDataset (optionally index-restricted).
 

@@ -125,13 +125,22 @@ _MIN_CHUNK_H = 8
 
 
 def _pick_chunk_h(h: int, w: int, ci: int, itemsize: int):
-    """Largest H-chunk whose padded slab fits the VMEM budget."""
+    """Largest H-chunk whose padded slab fits the VMEM budget.
+
+    Chunks no finer than _MIN_CHUNK_H, but a volume whose WHOLE height
+    is already below that (the model's deep layers: 4³/2³ spatials with
+    wide channels) is accepted un-chunked when its slab fits — the old
+    ``while hc >= _MIN_CHUNK_H`` loop never even tested those shapes,
+    which is what the round-2-4 "in-model compile failure" actually was
+    (tools/repro_pallas_aot.py rung 3/4; misattributed to the remote
+    AOT until the round-5 ladder recorded the real error)."""
     hc = h
-    while hc >= _MIN_CHUNK_H:
+    while True:
         if (hc + 2) * (w + 2) * ci * itemsize <= _SLAB_BYTES_LIMIT:
             return hc
+        if hc <= _MIN_CHUNK_H:
+            return None
         hc //= 2
-    return None
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

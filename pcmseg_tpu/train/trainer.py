@@ -27,7 +27,7 @@ import numpy as np
 
 from pcmseg_tpu.core.config import Config
 from pcmseg_tpu.data.dataset import ProstateDataset
-from pcmseg_tpu.data.loader import DataLoader
+from pcmseg_tpu.data.loader import DataLoader, RamCaseCache
 from pcmseg_tpu.models import UNet3D
 from pcmseg_tpu.parallel.sharding import (
     batch_sharding,
@@ -305,8 +305,20 @@ class Trainer:
                 self._str_val = [
                     i for i in (self.val_indices or []) if i not in res
                 ]
+                # memoize the remainder's wire-format arrays in host RAM
+                # (bounded by stream_host_cache_gb): the per-epoch .npz
+                # re-decode otherwise competes with the dispatch thread
+                # for CPU and erodes the interleave overlap (BENCH.md
+                # round-5 partial-cache A/B)
+                ram_gb = getattr(config, "stream_host_cache_gb", 4.0)
+                n_ram = int(ram_gb * 1e9 // per_case) if ram_gb > 0 else 0
+                streamed = self._str_train + self._str_val
+                stream_ds = (
+                    RamCaseCache(self.dataset, streamed[:n_ram])
+                    if n_ram > 0 else self.dataset
+                )
                 self._stream_train_loader = DataLoader(
-                    self.dataset,
+                    stream_ds,
                     batch_size=config.batch_size,
                     shuffle=True,
                     indices=self._str_train,
@@ -316,7 +328,7 @@ class Trainer:
                     process_shard=process_shard,
                 ) if self._str_train else None
                 self._stream_val_loader = DataLoader(
-                    self.dataset,
+                    stream_ds,
                     batch_size=config.batch_size,
                     shuffle=False,
                     indices=self._str_val,

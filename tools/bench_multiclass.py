@@ -60,6 +60,19 @@ def train_arm(name, n_classes, root, args):
         n_classes=n_classes,
     )
     trainer = Trainer(config)
+    # checkpoint only the FINAL epoch: the flagship-size state costs
+    # 27-33 s/epoch in D2H saves over the tunnel (BENCH.md "Checkpoint
+    # cost") — orthogonal to the step cost measured here, but the
+    # Validator still needs a 'best' on disk, so the last save goes
+    # through (forced is_best so 'best' holds the final weights)
+    orig_save = trainer._save_epoch
+    last_epoch = args.epochs - 1
+
+    def save_gate(epoch, monitor, is_best, periodic=None):
+        if epoch == last_epoch:
+            orig_save(epoch, monitor, True, periodic)
+
+    trainer._save_epoch = save_gate
     epoch_times = []
     orig_epoch = trainer.train_epoch
 
