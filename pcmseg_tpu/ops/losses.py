@@ -255,8 +255,11 @@ def mc_tversky_loss(
     beta: float = 0.7,
     smooth: float = 1.0,
     weight: jnp.ndarray = None,
+    include_background: bool = False,
 ):
-    """Mean per-foreground-class Tversky over softmax probabilities."""
+    """Mean per-class Tversky over softmax probabilities (foreground
+    classes by default; ``include_background`` adds class 0 — required
+    when this is the ONLY objective, see _make_multiclass_loss_fn)."""
     k = logits.shape[-1]
     probs = jnn.softmax(logits.astype(jnp.float32), axis=-1)
     t = one_hot_targets(labels, k)
@@ -269,7 +272,8 @@ def mc_tversky_loss(
     fp = jnp.sum(probs, axis=axes) - tp
     fn = jnp.sum(t, axis=axes) - tp
     tv = (tp + smooth) / (tp + alpha * fp + beta * fn + smooth)
-    return 1.0 - jnp.mean(tv[1:])
+    start = 0 if include_background else 1
+    return 1.0 - jnp.mean(tv[start:])
 
 
 def mc_focal_loss(
@@ -301,10 +305,21 @@ def mc_focal_loss(
 
 
 def _make_multiclass_loss_fn(name: str, **kwargs):
+    # STANDALONE overlap losses ('dice', 'tversky') include the
+    # background class. Foreground-only soft dice without a CE partner
+    # leaves background voxels supervised only through the foreground
+    # classes' fp terms, and once a class racks up massive fp its dice
+    # term saturates (d tv/d fp ~ 1/denom² -> ~1e-9 at 96³) — a
+    # degenerate fixed point observed IN TRAINING: a rare 0.2%-volume
+    # class-2 sat at per-class Dice 0.000 for 60 epochs while the
+    # model argmax'd class 2 over the whole background (BENCH.md
+    # round-5 multi-class record). nnU-Net avoids this by always
+    # pairing fg-only dice with CE; the composites below do the same,
+    # so THEIR dice terms stay fg-only (the nnU-Net convention).
     smooth = kwargs.get("dice_smooth", 1.0)
     if name == "dice":
         return lambda logits, targets, weight=None: softmax_dice_loss(
-            logits, targets, smooth, weight
+            logits, targets, smooth, weight, include_background=True
         )
     if name == "bce_dice":  # CE is the K-class analog of BCE
         cw = kwargs.get("bce_weight", 0.5)
@@ -321,6 +336,7 @@ def _make_multiclass_loss_fn(name: str, **kwargs):
             beta=kwargs.get("tversky_beta", 0.7),
             smooth=smooth,
             weight=weight,
+            include_background=True,
         )
     if name == "focal":
         return lambda logits, targets, weight=None: mc_focal_loss(

@@ -81,6 +81,39 @@ class TestMulticlassLosses:
         )(logits)
         assert np.isfinite(np.asarray(g)).all()
 
+    def test_standalone_dice_punishes_background_takeover(self, rng):
+        """Regression (round-5 multi-class record): STANDALONE mc dice
+        must include the background class. Foreground-only soft dice
+        leaves background supervised solely through fg fp terms, which
+        saturate (d tv/d fp ~ 1/denom²) — measured pre-fix: a model
+        argmax'ing a rare class over the WHOLE background cost only
+        +0.02 loss vs absorbing that class into its neighbor (0.498 vs
+        0.478), and training locked at per-class Dice 0.000 for 60
+        epochs. With background included, the takeover state must be
+        FAR more expensive than the absorbed state."""
+        from pcmseg_tpu.ops.losses import make_loss_fn
+
+        s = 8
+        lab = np.zeros((1, s, s, s, 1), np.uint8)
+        lab[0, 2:6, 2:6, 2:6] = 1
+        lab[0, 3:5, 3:5, 3:5] = 2
+
+        def logits_from(pred):
+            return jnp.asarray(
+                np.eye(3, dtype=np.float32)[pred[..., 0]] * 20.0
+            )
+
+        absorbed = lab.copy()
+        absorbed[absorbed == 2] = 1  # class 2 merged into class 1
+        takeover = lab.copy()
+        takeover[lab == 0] = 2  # class 2 argmax'd over all background
+        for name in ("dice", "tversky"):
+            fn = make_loss_fn(name, n_classes=3, dice_smooth=1.0,
+                              tversky_alpha=0.3, tversky_beta=0.7)
+            l_abs = float(fn(logits_from(absorbed), jnp.asarray(lab)))
+            l_take = float(fn(logits_from(takeover), jnp.asarray(lab)))
+            assert l_take > l_abs + 0.3, (name, l_abs, l_take)
+
     def test_zero_weight_sample_excluded(self, rng):
         logits, labels = _random_batch(rng, n=2)
         w = jnp.asarray([1.0, 0.0])
